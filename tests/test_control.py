@@ -1,0 +1,320 @@
+"""Control-plane tests: register wire protocol, fake-device init, tuner
+logic, API facade.
+
+Mirrors the reference's test strategy (/root/reference/src/device/
+device_test.rs) — the register encodings are asserted at the USB boundary —
+but against the behavioral simulator instead of per-test mocks, which also
+lets the *entire* init sequence run (something the reference never tests).
+"""
+
+import pytest
+
+from tpu_sdr import api
+from tpu_sdr.control import constants as C
+from tpu_sdr.control import fake
+from tpu_sdr.control.r82xx import R82xx, bit_reverse
+from tpu_sdr.control.rtlsdr import DEFAULT_FIR, SdrCore, pack_fir
+from tpu_sdr.control.transport import Device
+from tpu_sdr.errors import DeviceNotFoundError, InvalidConfigError
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    fake.clear_fake_devices()
+    yield
+    fake.clear_fake_devices()
+
+
+def make_device():
+    backend = fake.FakeUsbBackend()
+    return Device(backend), backend
+
+
+# ---------------------------------------------------------------------------
+# Wire protocol (ref device_test.rs:13-182)
+# ---------------------------------------------------------------------------
+
+def test_write_reg_u8_wire_format():
+    dev, backend = make_device()
+    dev.write_reg(C.BLOCK_SYS, C.GPO, 0xEF, 1)
+    kind, value, index, data = backend.log[-1]
+    assert (kind, value) == ("write", C.GPO)
+    assert index == (C.BLOCK_SYS << 8) | 0x10  # write marker
+    assert data == b"\xef"
+
+
+def test_write_reg_u16_wire_format_big_endian():
+    dev, backend = make_device()
+    dev.write_reg(C.BLOCK_SYS, C.GPO, 0xEFAB, 2)
+    _, _, index, data = backend.log[-1]
+    assert index == (C.BLOCK_SYS << 8) | 0x10
+    assert data == b"\xef\xab"  # big-endian on the wire
+
+
+def test_read_reg_u16_little_endian():
+    dev, backend = make_device()
+    backend.sys_regs[(C.BLOCK_SYS, C.GPO)] = 0x0123
+    assert dev.read_reg(C.BLOCK_SYS, C.GPO, 2) == 0x0123
+    kind, value, index, length = backend.log[-1]
+    assert (kind, value, index) == ("read", C.GPO, C.BLOCK_SYS << 8)
+
+
+def test_demod_reg_roundtrip_and_addressing():
+    dev, backend = make_device()
+    dev.demod_write_reg(1, 0x15, 0x42, 1)
+    # the write must carry (addr<<8)|0x20 and index 0x10|page, and be
+    # followed by the page-0x0a readback (ref device/mod.rs:114-139)
+    writes = [e for e in backend.log if e[0] == "write"]
+    reads = [e for e in backend.log if e[0] == "read"]
+    assert writes[-1][1] == (0x15 << 8) | 0x20
+    assert writes[-1][2] == 0x10 | 1
+    assert reads[-1][1] == (0x01 << 8) | 0x20 and reads[-1][2] == 0x0A
+    assert dev.demod_read_reg(1, 0x15) == 0x42
+
+
+def test_eeprom_read_protocol():
+    dev, backend = make_device()
+    backend.eeprom[10:14] = b"\x12\x34\x56\x78"
+    data = dev.read_eeprom(10, 4)
+    assert data == b"\x12\x34\x56\x78"
+
+
+def test_eeprom_out_of_range_rejected():
+    dev, _ = make_device()
+    with pytest.raises(AssertionError):
+        dev.read_eeprom(C.EEPROM_SIZE, 5)
+
+
+# ---------------------------------------------------------------------------
+# FIR packing (ref rtlsdr.rs:525-558)
+# ---------------------------------------------------------------------------
+
+def test_pack_fir_layout():
+    # Example from the reference comment: fir 4b5, 7f8, 3e8, 619 ->
+    # bytes 4b 57 f8 3e 86 19 (rtlsdr.rs:536-539)
+    fir = list(DEFAULT_FIR[:8]) + [0x4B5, 0x7F8, 0x3E8, 0x619, 0, 0, 0, 0]
+    packed = pack_fir(fir)
+    assert packed[8:14] == bytes([0x4B, 0x57, 0xF8, 0x3E, 0x86, 0x19])
+    assert len(packed) == 20
+
+
+def test_pack_fir_bounds():
+    bad = list(DEFAULT_FIR)
+    bad[0] = 200  # out of i8
+    with pytest.raises(InvalidConfigError):
+        pack_fir(bad)
+    bad = list(DEFAULT_FIR)
+    bad[8] = 3000  # out of i12
+    with pytest.raises(InvalidConfigError):
+        pack_fir(bad)
+
+
+# ---------------------------------------------------------------------------
+# Full init against the simulator (the reference cannot test this)
+# ---------------------------------------------------------------------------
+
+def test_full_init_detects_r820t():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    assert core.get_tuner_id() == "r820t"
+    assert 0 in backend.claimed
+    # baseband init wrote the USB sysctl register (rtlsdr.rs:416)
+    assert backend.sys_regs[(C.BLOCK_USB, C.USB_SYSCTL)] == 0x09
+    # FIR registers hold the packed default image (rtlsdr.rs:525-558)
+    packed = pack_fir(DEFAULT_FIR)
+    for i, b in enumerate(packed):
+        assert backend.demod_regs[(1, 0x1C + i)] == b
+    # I2C repeater left disabled after init (rtlsdr.rs:129)
+    assert backend.demod_regs[(1, 0x01)] == 0x10
+
+
+def test_init_reads_eeprom_hack_bits():
+    spec = fake.FakeDeviceSpec()
+    eeprom = spec.make_eeprom()
+    eeprom[7] = 0x01  # IR bit 0 -> force_bt; remote bit 1 -> force_ds
+    backend = fake.FakeUsbBackend(fake.dataclass_replace(spec, eeprom=bytes(eeprom)))
+    core = SdrCore(Device(backend))
+    core.init()
+    assert core.force_bt is True
+    assert core.force_ds is True
+
+
+def test_set_sample_rate_programs_ratio():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_sample_rate(2_048_000)
+    # rsamp_ratio = (28.8e6 * 2^22 / 2.048e6) & ~3 (rtlsdr.rs:223-225)
+    ratio = (28_800_000 * (1 << 22) // 2_048_000) & 0x0FFFFFFC
+    assert backend.demod_regs[(1, 0x9F)] == (ratio >> 16) & 0xFFFF
+    assert backend.demod_regs[(1, 0xA1)] == ratio & 0xFFFF
+    assert core.get_sample_rate() == 2_048_000
+
+
+@pytest.mark.parametrize("rate", [100_000, 225_000, 400_000, 900_000, 3_300_000])
+def test_invalid_sample_rates_rejected(rate):
+    dev, _ = make_device()
+    core = SdrCore(dev)
+    core.init()
+    with pytest.raises(InvalidConfigError):
+        core.set_sample_rate(rate)
+
+
+def test_set_center_freq_tracks_and_programs_pll():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_sample_rate(1_020_000)
+    core.set_center_freq(94_900_000 + 255_000)
+    assert core.get_center_freq() == 95_155_000
+    assert isinstance(core.tuner, R82xx)
+    assert core.tuner.has_lock
+
+
+def test_testmode_register():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_testmode(True)
+    assert backend.demod_regs[(0, 0x19)] == 0x03
+    core.set_testmode(False)
+    assert backend.demod_regs[(0, 0x19)] == 0x05
+
+
+def test_testmode_counter_pattern():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_testmode(True)
+    data = core.read_sync(16)
+    assert list(data) == list(range(16))
+    data = core.read_sync(4)
+    assert list(data) == [16, 17, 18, 19]
+
+
+def test_bias_tee_sets_gpio0():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_bias_tee(True)
+    assert backend.sys_regs[(C.BLOCK_SYS, C.GPO)] & 0x01
+    core.set_bias_tee(False)
+    assert not backend.sys_regs[(C.BLOCK_SYS, C.GPO)] & 0x01
+
+
+def test_direct_sampling_modes():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_direct_sampling("on_swap")
+    assert backend.demod_regs[(0, 0x06)] == 0x90
+    core.set_direct_sampling("off")
+    assert backend.demod_regs[(0, 0x06)] == 0x80
+
+
+# ---------------------------------------------------------------------------
+# Tuner specifics
+# ---------------------------------------------------------------------------
+
+def test_bit_reverse():
+    assert bit_reverse(0x01) == 0x80
+    assert bit_reverse(0xF0) == 0x0F
+    assert bit_reverse(bit_reverse(0xA7)) == 0xA7
+
+
+def test_tuner_gain_table():
+    dev, _ = make_device()
+    core = SdrCore(dev)
+    core.init()
+    gains = core.get_tuner_gains()
+    assert len(gains) == 29
+    assert gains[0] == 0 and gains[-1] == 496  # r82xx.rs:53-56
+
+
+def test_manual_gain_ladder_registers():
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.set_tuner_gain(297)  # tenth-dB
+    tuner = core.tuner
+    lna = tuner.read_cache_reg(0x05) & 0x0F
+    mix = tuner.read_cache_reg(0x07) & 0x0F
+    # ladder walk must produce a cumulative gain >= requested
+    from tpu_sdr.control.r82xx import LNA_GAIN_STEPS, MIXER_GAIN_STEPS
+
+    total = sum(LNA_GAIN_STEPS[1 : lna + 1]) + sum(MIXER_GAIN_STEPS[1 : mix + 1])
+    assert total >= 297
+
+
+def test_bandwidth_if_freq_math():
+    """IF filter selection updates int_freq (r82xx.rs:543-604)."""
+    dev, _ = make_device()
+    core = SdrCore(dev)
+    core.init()
+    core.tuner.set_bandwidth(dev, 1_020_000, 1_020_000)
+    # narrow path: int_freq = 2.3M (+hp corners) - real_bw/2
+    assert 1_000_000 < core.tuner.get_if_freq() < 4_000_000
+
+
+def test_blog_v4_detection_and_upconvert():
+    spec = fake.FakeDeviceSpec(is_blog_v4=True)
+    backend = fake.FakeUsbBackend(spec)
+    core = SdrCore(Device(backend))
+    core.init()
+    # V4 is an R828D board, but the probe serves the shared check value, so
+    # the driver identifies by USB strings for the xtal decision
+    assert core.tuner_xtal == 28_800_000  # V4 keeps 28.8 MHz (rtlsdr.rs:97-100)
+
+
+# ---------------------------------------------------------------------------
+# API facade + enumeration
+# ---------------------------------------------------------------------------
+
+def test_enumeration_and_open_by_index_and_serial():
+    fake.register_fake_device()
+    fake.register_fake_device()
+    devices = api.list_devices()
+    assert len(devices) == 2
+    assert devices[0].index == 0 and devices[1].index == 1
+
+    sdr = api.RtlSdr.open_with_index(0)
+    assert sdr.get_tuner_id() == api.TunerId.R820T
+    sdr.close()
+
+    serial = devices[1].serial
+    sdr = api.RtlSdr.open_with_serial(serial)
+    sdr.close()
+
+    assert api.get_device_serial(1) == serial
+    with pytest.raises(DeviceNotFoundError):
+        api.get_device_info(5)
+
+
+def test_open_first_available_and_sensors():
+    fake.register_fake_device()
+    sdr = api.RtlSdr.open_first_available()
+    sensors = sdr.list_sensors()
+    assert len(sensors) == 3
+    v = sdr.read_sensor(api.Sensor.TUNER_TYPE)
+    assert v.value == "r820t"
+    v = sdr.read_sensor(api.Sensor.FREQUENCY_CORRECTION_PPM)
+    assert v.value == 0
+    sdr.close()
+
+
+def test_read_sync_streams_iq():
+    fake.register_fake_device()
+    sdr = api.RtlSdr.open_with_index(0)
+    sdr.set_sample_rate(2_048_000)
+    sdr.set_center_freq(100_000_000)
+    sdr.reset_buffer()
+    data = sdr.read_sync(4096)
+    assert len(data) == 4096
+    sdr.close()
+
+
+def test_device_id_variants():
+    assert api.DeviceId.index(0) == api.DeviceId("index", 0)
+    assert api.DeviceId.fd(42) == api.DeviceId("fd", 42)
+    assert api.DeviceId.index(0) != api.DeviceId.fd(42)

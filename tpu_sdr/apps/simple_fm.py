@@ -1,0 +1,154 @@
+"""simple_fm — WBFM receiver emitting raw s16 mono audio on stdout.
+
+Mirrors /root/reference/examples/simple_fm.rs: hard-coded-by-default station
+config, a receive thread feeding a demod thread through a queue (the
+reference's mpsc pipeline, simple_fm.rs:55-63), or file mode which streams a
+raw capture through the same demodulator (simple_fm.rs:65-84).  The demod
+thread dispatches blocks to the JAX data plane (TPU when present).
+
+Play with:  python -m tpu_sdr.apps.simple_fm | play -r 32k -t raw -e s -b 16 -c 1 -V1 -
+
+Modes (--mode):
+  exact   bit-exact integer chain (the conformance path)
+  boxcar  float reference-parity chain (fast, >=60 dB vs exact)
+  fir     FIR quality chain (best audio)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import queue
+import sys
+import threading
+import time
+
+import numpy as np
+
+from tpu_sdr import DEFAULT_BUF_LENGTH
+from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
+
+log = logging.getLogger("simple_fm")
+
+FREQUENCY = 94_900_000  # Hz (ref simple_fm.rs:25)
+SAMPLE_RATE = 170_000  # demod rate (ref simple_fm.rs:26)
+RATE_RESAMPLE = 32_000  # audio out (ref simple_fm.rs:27)
+
+
+def make_demodulator(mode: str):
+    """Return (demod_fn(u8 block)->np audio s16, description)."""
+    from tpu_sdr.models import wbfm, wbfm_exact
+
+    if mode == "exact":
+        streamer = wbfm_exact.WbfmExactStreamer()
+        return streamer.demodulate, "exact integer chain"
+    filter_mode = "boxcar" if mode == "boxcar" else "fir"
+    streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=filter_mode))
+
+    def demod(buf: np.ndarray) -> np.ndarray:
+        # float [-1,1] -> s16, matching the reference's output format
+        return wbfm.audio_to_s16(streamer.demodulate(buf))
+
+    return demod, f"float chain ({filter_mode})"
+
+
+def output(buf: np.ndarray) -> None:
+    """Raw s16-LE to stdout (ref simple_fm.rs:430-438)."""
+    sys.stdout.buffer.write(np.asarray(buf, dtype="<i2").tobytes())
+    sys.stdout.buffer.flush()
+
+
+def receive_loop(sdr: RtlSdr, q: "queue.Queue[bytes | None]", shutdown: threading.Event):
+    """SDR read thread (ref receive, simple_fm.rs:89-132)."""
+    while not shutdown.is_set():
+        try:
+            data = sdr.read_sync(DEFAULT_BUF_LENGTH)
+        except Exception as e:  # read error ends the stream
+            log.info("Read error: %s", e)
+            break
+        if len(data) < DEFAULT_BUF_LENGTH:
+            log.info("Short read (%d), samples lost, exiting!", len(data))
+            break
+        q.put(data)
+    q.put(None)
+    log.info("Close")
+    sdr.close()
+
+
+def process_loop(demod, q, shutdown: threading.Event):
+    """Demod thread with running-average timing (ref process,
+    simple_fm.rs:135-170)."""
+    total_time = 0.0
+    loops = 0
+    while not shutdown.is_set():
+        buf = q.get()
+        if buf is None:
+            break
+        t0 = time.monotonic()
+        audio = demod(np.frombuffer(buf, dtype=np.uint8))
+        total_time += time.monotonic() - t0
+        loops += 1
+        output(audio)
+    if loops:
+        log.info("Average processing time: %.2fms (%d loops)",
+                 1000.0 * total_time / loops, loops)
+
+
+def run_file(path: str, demod) -> None:
+    """File mode (ref simple_fm.rs:65-84)."""
+    with open(path, "rb") as f:
+        while True:
+            chunk = f.read(DEFAULT_BUF_LENGTH)
+            if len(chunk) < 16:
+                break
+            usable = len(chunk) - (len(chunk) % 16)
+            audio = demod(np.frombuffer(chunk[:usable], dtype=np.uint8))
+            output(audio)
+
+
+def main(argv=None) -> int:
+    # Log to stderr; stdout carries audio (ref simple_fm.rs:38)
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--freq", type=int, default=FREQUENCY)
+    p.add_argument("--file", help="read raw u8 I/Q from file instead of a device")
+    p.add_argument("--device", type=int, default=0)
+    p.add_argument("--mode", choices=["exact", "boxcar", "fir"], default="fir")
+    args = p.parse_args(argv)
+
+    from tpu_sdr.models.wbfm_exact import optimal_settings
+
+    radio, _demod_cfg = optimal_settings(args.freq, SAMPLE_RATE)
+    demod, desc = make_demodulator(args.mode)
+    log.info("Demodulating with %s", desc)
+
+    if args.file:
+        run_file(args.file, demod)
+        return 0
+
+    sdr = RtlSdr.open(DeviceId.index(args.device))
+    # Configure like the reference (config_sdr, simple_fm.rs:217-229)
+    sdr.set_tuner_gain(TunerGain.AUTO)
+    sdr.set_bias_tee(False)
+    sdr.reset_buffer()
+    sdr.set_center_freq(radio.capture_freq)
+    sdr.set_sample_rate(radio.capture_rate)
+    log.info("Tuned to %d Hz.", sdr.get_center_freq())
+    log.info("Buffer size: %.2fms",
+             1000.0 * 0.5 * DEFAULT_BUF_LENGTH / radio.capture_rate)
+    log.info("Sampling at %d S/s", sdr.get_sample_rate())
+
+    shutdown = threading.Event()
+    q: "queue.Queue[bytes | None]" = queue.Queue()
+    rx = threading.Thread(target=receive_loop, args=(sdr, q, shutdown))
+    rx.start()
+    try:
+        process_loop(demod, q, shutdown)
+    except KeyboardInterrupt:
+        shutdown.set()
+    rx.join()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,293 @@
+"""Register-level RTL2832U + R82xx simulator.
+
+The reference mocks the USB HAL per-test with mockall expectations
+(/root/reference/src/device/mock_device_handle.rs,
+src/device/device_test.rs).  This framework goes further (SURVEY.md §4/§7):
+a persistent *behavioral* simulator that implements the same control-transfer
+wire protocol a real dongle speaks, so the entire control plane — init
+sequence, tuner probe, PLL programming, EEPROM hacks, test mode — runs
+unmodified against it and can be asserted on.
+
+Simulated behavior:
+
+* system/USB/demod register files addressed exactly like the hardware:
+  ``index = block<<8 (|0x10 on write)`` for blocks, ``value = (addr<<8)|0x20,
+  index = page (|0x10 on write)`` for demod pages (ref device/mod.rs:63-139),
+* I2C tunnel through BLOCK_IIC: tuner register file at the R82xx address
+  with write-[reg,data...]/read-from-pointer semantics, including the raw
+  byte values the driver bit-reverses (ref r82xx.rs:1139-1148) — probe
+  value, PLL lock bit, VCO fine-tune and filter-calibration codes are all
+  served so the driver takes its real code paths,
+* 256-byte EEPROM at 0xA0 with an address-pointer write followed by
+  sequential reads (ref device/mod.rs:145-152),
+* bulk endpoint 0x81 backed by a pluggable sample source; the on-chip
+  counter test pattern is honored when demod page0 reg 0x19 == 0x03
+  (ref rtlsdr.rs:280-290).
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from tpu_sdr.control import constants as C
+from tpu_sdr.errors import UsbError
+
+
+def bit_reverse_u8(b: int) -> int:
+    """Reverse the bits of a byte (the R82xx serves MSB-first reads;
+    ref r82xx.rs:1160-1165)."""
+    b = ((b & 0xF0) >> 4) | ((b & 0x0F) << 4)
+    b = ((b & 0xCC) >> 2) | ((b & 0x33) << 2)
+    b = ((b & 0xAA) >> 1) | ((b & 0x55) << 1)
+    return b
+
+
+# Raw (wire) R82xx read-register bytes the simulator serves.  The driver
+# bit-reverses what it reads (r82xx.rs:1144-1147), so these are chosen to
+# present: probe value 0x69 at reg 0 (tuners/mod.rs & r82xx.rs:330-344);
+# PLL lock bit (reversed & 0x40) at reg 2 (r82xx.rs:783-801); VCO fine tune
+# == 2 and fil_cal_code == 0 at reg 4 (r82xx.rs:726-731, 1015-1024).
+_R82XX_READ_REGS = bytes([
+    0x69,                      # reg 0: chip id / probe check value
+    0x00,                      # reg 1
+    bit_reverse_u8(0x40),      # reg 2: PLL locked
+    bit_reverse_u8(0x42),      # reg 3: mixer/lna gain readout
+    bit_reverse_u8(0x20),      # reg 4: vco_fine_tune=2, fil_cal_code=0
+])
+
+
+class SampleSource:
+    """Pluggable bulk-endpoint signal source."""
+
+    def read(self, length: int) -> bytes:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class CounterSource(SampleSource):
+    """The RTL2832U's built-in 8-bit counter test pattern
+    (enabled via demod reg 0x19=0x03; ref rtlsdr.rs:280-290)."""
+
+    def __init__(self):
+        self._next = 0
+
+    def read(self, length: int) -> bytes:
+        out = bytes((self._next + i) & 0xFF for i in range(length))
+        self._next = (self._next + length) & 0xFF
+        return out
+
+
+class SynthFmSource(SampleSource):
+    """Synthesized WBFM station (see tpu_sdr.utils.synth) looped forever —
+    the stand-in for an antenna."""
+
+    def __init__(self, capture_rate: float = 2_048_000.0, audio_freq: float = 1_000.0,
+                 seconds: float = 1.0, noise_std: float = 0.005):
+        from tpu_sdr.utils import synth
+
+        n = int(capture_rate * seconds)
+        u8, _ = synth.synth_wbfm_u8(
+            n, capture_rate=capture_rate, audio_freq=audio_freq, noise_std=noise_std
+        )
+        self._data = bytes(u8)
+        self._pos = 0
+
+    def read(self, length: int) -> bytes:
+        out = bytearray()
+        while len(out) < length:
+            take = min(length - len(out), len(self._data) - self._pos)
+            out += self._data[self._pos : self._pos + take]
+            self._pos = (self._pos + take) % len(self._data)
+        return bytes(out)
+
+
+@dataclass
+class FakeDeviceSpec:
+    """Identity + personality of one simulated dongle."""
+
+    vendor_id: int = 0x0BDA
+    product_id: int = 0x2838
+    manufacturer: str = "Realtek"
+    product: str = "RTL2838UHIDIR"
+    serial: str = "00000001"
+    is_blog_v4: bool = False
+    eeprom: bytes = b""
+    source_factory: Callable[[], SampleSource] | None = None
+
+    def make_eeprom(self) -> bytearray:
+        if self.eeprom:
+            e = bytearray(self.eeprom)
+            e.extend(b"\x00" * (C.EEPROM_SIZE - len(e)))
+            return e[: C.EEPROM_SIZE]
+        e = bytearray(C.EEPROM_SIZE)
+        e[0] = 0x28  # RTL eeprom magic
+        e[1] = 0x32
+        # Byte 7 default: IR endpoint enabled (bit1=1 -> force_bt off) and
+        # remote disabled (bit0=0 -> force_ds off); ref rtlsdr.rs:118-124.
+        e[7] = 0x02
+        return e
+
+
+class FakeUsbBackend:
+    """A UsbBackend implementation simulating one dongle at the wire level."""
+
+    def __init__(self, spec: FakeDeviceSpec | None = None):
+        self.spec = spec or FakeDeviceSpec()
+        if self.spec.is_blog_v4:
+            self.spec = dataclass_replace(
+                self.spec, manufacturer="RTLSDRBlog", product="Blog V4"
+            )
+        self.sys_regs: dict[tuple[int, int], int] = {}
+        self.demod_regs: dict[tuple[int, int], int] = {}
+        self.tuner_regs = bytearray(32)
+        self._tuner_read_ptr = 0
+        self.eeprom = self.spec.make_eeprom()
+        self._eeprom_ptr = 0
+        self.claimed: list[int] = []
+        self.reset_count = 0
+        self.closed = False
+        factory = self.spec.source_factory or CounterSource
+        self._source = factory()
+        self._counter = CounterSource()
+        self.log: list[tuple] = []  # protocol trace for assertions
+
+    # -- UsbBackend interface ---------------------------------------------
+
+    def claim_interface(self, iface: int) -> None:
+        self.claimed.append(iface)
+
+    def reset(self) -> None:
+        self.reset_count += 1
+
+    def read_control(self, request_type, request, value, index, length, timeout_ms):
+        if request_type != C.CTRL_IN:
+            raise UsbError(f"unexpected read request_type {request_type:#x}")
+        self.log.append(("read", value, index, length))
+        if index < 0x100:
+            # Demod page read: value = (addr<<8)|0x20, index = page
+            # (ref device/mod.rs:86-111).
+            page, addr = index, value >> 8
+            return bytes([self.demod_regs.get((page, addr), 0) & 0xFF, 0])[:length]
+        block = index >> 8
+        if block == C.BLOCK_IIC:
+            return self._i2c_read(value, length)
+        # Plain block register read — served little-endian
+        # (ref device/mod.rs:63-71 "read as little endian").
+        val = self.sys_regs.get((block, value), 0)
+        return bytes([val & 0xFF, (val >> 8) & 0xFF])[:length]
+
+    def write_control(self, request_type, request, value, index, data, timeout_ms):
+        if request_type != C.CTRL_OUT:
+            raise UsbError(f"unexpected write request_type {request_type:#x}")
+        self.log.append(("write", value, index, bytes(data)))
+        if not index & 0x10:
+            raise UsbError(f"write without 0x10 marker: index={index:#x}")
+        if index < 0x100:
+            # Demod page write: index = 0x10|page, value = (addr<<8)|0x20
+            # (ref device/mod.rs:114-139).
+            page, addr = index & 0x0F, value >> 8
+            v = data[0] if len(data) == 1 else (data[0] << 8) | data[1]
+            self.demod_regs[(page, addr)] = v
+            return len(data)
+        block = index >> 8
+        if block == C.BLOCK_IIC:
+            self._i2c_write(value, bytes(data))
+            return len(data)
+        # Plain block register write — big-endian on the wire
+        # (ref device/mod.rs:73-83).
+        v = data[0] if len(data) == 1 else (data[0] << 8) | data[1]
+        self.sys_regs[(block, value)] = v
+        return len(data)
+
+    def read_bulk(self, endpoint, length, timeout_ms):
+        if endpoint != C.BULK_IQ_ENDPOINT:
+            raise UsbError(f"unexpected bulk endpoint {endpoint:#x}")
+        if self.demod_regs.get((0, 0x19)) == 0x03:  # counter test mode
+            return self._counter.read(length)
+        return self._source.read(length)
+
+    def get_usb_strings(self):
+        return (self.spec.manufacturer, self.spec.product, self.spec.serial)
+
+    def close(self) -> None:
+        self.closed = True
+
+    # -- I2C tunnel --------------------------------------------------------
+
+    def _i2c_write(self, addr: int, data: bytes) -> None:
+        if addr == C.EEPROM_ADDR:
+            if len(data) >= 1:
+                self._eeprom_ptr = data[0]
+            for i, b in enumerate(data[1:]):
+                self.eeprom[(self._eeprom_ptr + i) % C.EEPROM_SIZE] = b
+            return
+        # Tuner write: first byte is the register address, rest is data
+        # (ref r82xx.rs:1109-1136); a lone address byte sets the read pointer.
+        if not data:
+            return
+        reg = data[0]
+        if len(data) == 1:
+            self._tuner_read_ptr = reg
+            return
+        for i, b in enumerate(data[1:]):
+            if reg + i < len(self.tuner_regs):
+                self.tuner_regs[reg + i] = b
+
+    def _i2c_read(self, addr: int, length: int) -> bytes:
+        if addr == C.EEPROM_ADDR:
+            out = bytes(
+                self.eeprom[(self._eeprom_ptr + i) % C.EEPROM_SIZE] for i in range(length)
+            )
+            self._eeprom_ptr = (self._eeprom_ptr + length) % C.EEPROM_SIZE
+            return out
+        # Tuner read from the current pointer.  Read-only regs 0..4 serve the
+        # canned status bytes; RW regs echo what was written (raw wire bytes
+        # are the bit-reverse of the logical values the driver caches, which
+        # only matters to the driver, not to us).
+        out = bytearray()
+        for i in range(length):
+            reg = self._tuner_read_ptr + i
+            if reg < len(_R82XX_READ_REGS):
+                out.append(_R82XX_READ_REGS[reg])
+            elif reg < len(self.tuner_regs):
+                out.append(bit_reverse_u8(self.tuner_regs[reg]))
+            else:
+                out.append(0)
+        self._tuner_read_ptr += length  # chip auto-increments its pointer
+        return bytes(out)
+
+
+def dataclass_replace(spec: FakeDeviceSpec, **kw) -> FakeDeviceSpec:
+    import dataclasses
+
+    return dataclasses.replace(spec, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Fake-device registry (merged into enumeration by tpu_sdr.control.transport)
+# ---------------------------------------------------------------------------
+
+_registry: list[FakeDeviceSpec] = []
+_registry_lock = threading.Lock()
+
+
+def register_fake_device(spec: FakeDeviceSpec | None = None) -> FakeDeviceSpec:
+    """Make a simulated dongle visible to enumeration/open."""
+    spec = spec or FakeDeviceSpec(serial=f"{len(_registry) + 1:08d}")
+    with _registry_lock:
+        _registry.append(spec)
+    return spec
+
+
+def clear_fake_devices() -> None:
+    with _registry_lock:
+        _registry.clear()
+
+
+def fake_devices() -> list[FakeDeviceSpec]:
+    with _registry_lock:
+        return list(_registry)

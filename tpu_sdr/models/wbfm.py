@@ -1,0 +1,190 @@
+"""Fast float WBFM demodulator — the TPU throughput path.
+
+Same receive chain as the reference ``simple_fm``
+(/root/reference/examples/simple_fm.rs:256-269) but redesigned for XLA:
+
+    u8 I/Q -> f32 -> fs/4 rotate -> polyphase FIR decimate
+           -> quadrature discriminator -> rational polyphase resample
+           -> (optional de-emphasis) -> audio
+
+One jitted pure function per block with an explicit carry pytree; the boxcar
+filters are upgraded to real FIR anti-alias filtering (BASELINE.json north
+star).  Fidelity versus the bit-exact path is asserted by an SNR bound in
+tests rather than sample equality.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_sdr.ops import fm as F
+from tpu_sdr.utils import firdes
+
+
+@dataclass(frozen=True)
+class WbfmConfig:
+    """Fast-chain configuration.
+
+    Defaults mirror the reference's ``optimal_settings(94.9M, 170k)``:
+    capture 1.02 Msps, decimate by 6 to 170 kHz, resample to 32 kHz audio.
+    """
+
+    capture_rate: int = 1_020_000
+    decim: int = 6
+    rate_out: int = 170_000
+    rate_resample: int = 32_000
+    # "fir": proper anti-alias FIR decimation + polyphase audio resampler +
+    #        true atan2 — best radio quality (the BASELINE.json north star).
+    # "boxcar": float twins of the reference's boxcar filters and fast-atan2
+    #        approximation — tracks the reference output to >=60 dB and is
+    #        the cheapest chain (reshape-sum decimator, no transcendentals).
+    filter_mode: str = "fir"
+    fir_taps_per_phase: int = 12
+    # WBFM occupies nearly the whole decimated band (Carson BW ~2*(75k+15k)
+    # at 170 kHz out), so the anti-alias cutoff sits close to the output
+    # Nyquist rather than the usual conservative fraction.
+    fir_cutoff_frac: float = 0.9
+    resample_taps_per_phase: int = 48
+    resample_cutoff_frac: float = 0.8
+    deemphasis_tau: float = 0.0  # seconds; 0 disables (reference has none)
+
+    @property
+    def resample_up(self) -> int:
+        g = math.gcd(self.rate_out, self.rate_resample)
+        return self.rate_resample // g
+
+    @property
+    def resample_down(self) -> int:
+        g = math.gcd(self.rate_out, self.rate_resample)
+        return self.rate_out // g
+
+
+class WbfmState(NamedTuple):
+    rot: F.RotatorState
+    fir: F.FirState
+    quad: F.QuadState
+    resamp: F.ResampleState
+    box_resamp: F.BoxcarResampleState
+    deemph: F.DeemphState
+
+
+@dataclass
+class WbfmParams:
+    """Precomputed filter banks (host-designed, device-resident)."""
+
+    decim_taps: jax.Array
+    resamp_poly: jax.Array  # (up, T)
+
+
+def make_params(config: WbfmConfig) -> WbfmParams:
+    decim_taps = firdes.decimating_lowpass(
+        config.decim, taps_per_phase=config.fir_taps_per_phase,
+        cutoff_frac=config.fir_cutoff_frac,
+    )
+    h = firdes.resampler_taps(
+        config.resample_up, config.resample_down,
+        taps_per_phase=config.resample_taps_per_phase,
+        cutoff_frac=config.resample_cutoff_frac,
+    )
+    h_poly = F.make_polyphase(h, config.resample_up)
+    return WbfmParams(jnp.asarray(decim_taps), jnp.asarray(h_poly))
+
+
+def init_state(config: WbfmConfig) -> WbfmState:
+    num_taps = config.decim * config.fir_taps_per_phase
+    return WbfmState(
+        F.rotator_init(),
+        F.fir_init(num_taps),
+        F.quad_init(),
+        F.resample_init(_resamp_T(config)),
+        F.boxcar_resample_init(),
+        F.deemph_init(),
+    )
+
+
+def _resamp_T(config: WbfmConfig) -> int:
+    L = config.resample_up * config.resample_taps_per_phase
+    return -(-L // config.resample_up)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
+                     config: WbfmConfig):
+    """One u8 I/Q block -> (audio_padded f32, count, new_state).
+
+    Block byte length must satisfy ``len % (2*decim) == 0``.
+    """
+    re, im = F.u8_to_f32(buf)
+    re, im, rot = F.rotate_fs4(re, im, state.rot)
+    if config.filter_mode == "boxcar":
+        re, im = F.boxcar_decimate_f32(re, im, config.decim)
+        fir = state.fir
+        y, quad = F.quadrature_demod(re, im, state.quad, atan_mode="fast")
+    else:
+        re, im, fir = F.fir_decimate(re, im, params.decim_taps, config.decim, state.fir)
+        y, quad = F.quadrature_demod(re, im, state.quad)
+    if config.deemphasis_tau > 0:
+        alpha = F.deemph_alpha(config.rate_out, config.deemphasis_tau)
+        y, deemph = F.deemphasis(y, alpha, state.deemph)
+    else:
+        deemph = state.deemph
+    if config.filter_mode == "boxcar":
+        audio, count, box_resamp = F.boxcar_resample_f32(
+            y, state.box_resamp, config.rate_out, config.rate_resample
+        )
+        resamp = state.resamp
+    else:
+        audio, count, resamp = F.polyphase_resample(
+            y, params.resamp_poly, config.resample_up, config.resample_down, state.resamp
+        )
+        box_resamp = state.box_resamp
+    return audio, count, WbfmState(rot, fir, quad, resamp, box_resamp, deemph)
+
+
+jax.tree_util.register_pytree_node(
+    WbfmParams,
+    lambda p: ((p.decim_taps, p.resamp_poly), None),
+    lambda _, c: WbfmParams(*c),
+)
+
+
+def audio_to_s16(audio: np.ndarray, scale: float = 0.9) -> np.ndarray:
+    """Float audio [-1, 1] -> s16 PCM (the reference emits s16-LE,
+    simple_fm.rs:430-438)."""
+    return np.clip(audio * (scale * 32767.0), -32768, 32767).astype(np.int16)
+
+
+class WbfmStreamer:
+    """Host wrapper: feed u8 blocks of any size, receive trimmed float audio.
+
+    The jitted block transform needs byte counts divisible by ``2*decim``;
+    arbitrary input sizes (e.g. the reference's 262144-byte blocks with
+    131072 % 6 != 0) are handled by carrying the residual bytes to the next
+    call — the residual cycles through at most ``decim`` distinct values, so
+    recompilation is bounded.
+    """
+
+    def __init__(self, config: WbfmConfig | None = None):
+        self.config = config or WbfmConfig()
+        self.params = make_params(self.config)
+        self.state = init_state(self.config)
+        self._pending = np.zeros(0, dtype=np.uint8)
+
+    def demodulate(self, buf: np.ndarray) -> np.ndarray:
+        data = np.concatenate([self._pending, np.asarray(buf, dtype=np.uint8)])
+        quantum = 2 * self.config.decim
+        usable = len(data) - (len(data) % quantum)
+        self._pending = data[usable:]
+        if usable == 0:
+            return np.zeros(0, dtype=np.float32)
+        audio, count, self.state = demodulate_block(
+            jnp.asarray(data[:usable]), self.state, self.params, self.config
+        )
+        return np.asarray(audio)[: int(count)]

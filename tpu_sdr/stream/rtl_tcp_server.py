@@ -1,0 +1,256 @@
+"""rtl_tcp protocol server.
+
+Wire-compatible re-implementation of /root/reference/examples/rtl_tcp.rs:
+speaks the standard rtl_tcp protocol (``RTL0`` handshake + big-endian tuner
+type and gain count, rtl_tcp.rs:691-708; 5-byte ``[cmd u8 | param be32]``
+control messages with opcodes 0x01-0x0e, rtl_tcp.rs:659-677), serves one
+client at a time from a non-blocking accept loop (rtl_tcp.rs:100-126), and
+uses a bounded block queue for backpressure (default 500 blocks,
+rtl_tcp.rs:24,365).
+
+Thread layout mirrors the reference's three threads per client
+(rtl_tcp.rs:334-502): a reader loop pulling sync blocks from the device, a
+sender thread draining the bounded queue into the socket, and a command
+thread parsing control messages.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import socket
+import struct
+import threading
+
+from tpu_sdr import DEFAULT_BUF_LENGTH
+from tpu_sdr.api import DirectSampleMode, RtlSdr, TunerGain, TunerId
+
+log = logging.getLogger("rtl_tcp")
+
+DEFAULT_PORT = 1234
+DEFAULT_SAMPLE_RATE = 2_048_000  # (ref rtl_tcp.rs:22)
+DEFAULT_FREQUENCY = 100_000_000
+DEFAULT_QUEUE_LIMIT = 500  # blocks (ref rtl_tcp.rs:24)
+ACCEPT_POLL_INTERVAL_S = 0.1
+
+# Command opcodes (ref rtl_tcp.rs:659-677)
+CMD_SET_FREQUENCY = 0x01
+CMD_SET_SAMPLE_RATE = 0x02
+CMD_SET_GAIN_MODE = 0x03
+CMD_SET_GAIN = 0x04
+CMD_SET_FREQ_CORRECTION = 0x05
+CMD_SET_IF_GAIN = 0x06
+CMD_SET_TEST_MODE = 0x07
+CMD_SET_AGC_MODE = 0x08
+CMD_SET_DIRECT_SAMPLING = 0x09
+CMD_SET_OFFSET_TUNING = 0x0A
+CMD_SET_RTL_XTAL = 0x0B
+CMD_SET_TUNER_XTAL = 0x0C
+CMD_SET_GAIN_BY_INDEX = 0x0D
+CMD_SET_BIAS_TEE = 0x0E
+
+TUNER_TYPE_CODES = {TunerId.R820T: 5, TunerId.R828D: 6}  # (ref rtl_tcp.rs:699-708)
+
+
+def send_handshake(sock: socket.socket, tuner_type: int, gain_count: int) -> None:
+    """``RTL0`` + be32 tuner type + be32 gain count (ref rtl_tcp.rs:691-697)."""
+    sock.sendall(b"RTL0" + struct.pack(">II", tuner_type, gain_count))
+
+
+class RtlTcpServer:
+    """One-client-at-a-time I/Q server (ref run/serve_client,
+    rtl_tcp.rs:74-502)."""
+
+    def __init__(self, sdr: RtlSdr, address: str = "127.0.0.1", port: int = DEFAULT_PORT,
+                 queue_limit: int = DEFAULT_QUEUE_LIMIT, default_gain: int | None = None):
+        self.sdr = sdr
+        self.address = address
+        self.port = port
+        self.queue_limit = max(1, queue_limit)
+        self.default_gain = default_gain
+        self.shutdown = threading.Event()
+        self._listener: socket.socket | None = None
+        self.bound_port: int | None = None
+
+    def serve_forever(self) -> None:
+        listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        listener.bind((self.address, self.port))
+        listener.listen(1)
+        listener.settimeout(ACCEPT_POLL_INTERVAL_S)
+        self._listener = listener
+        self.bound_port = listener.getsockname()[1]
+        log.info("Listening on %s:%s", self.address, self.bound_port)
+        try:
+            while not self.shutdown.is_set():
+                try:
+                    stream, addr = listener.accept()
+                except socket.timeout:
+                    continue
+                log.info("Client accepted from %s", addr)
+                err = self.serve_client(stream, addr)
+                if err:
+                    log.warning("Connection ended: %s", err)
+                else:
+                    log.info("Connection closed")
+        finally:
+            listener.close()
+
+    def stop(self) -> None:
+        self.shutdown.set()
+
+    # -- per-client --------------------------------------------------------
+
+    def serve_client(self, stream: socket.socket, addr) -> str | None:
+        errors: list[str] = []
+        connection_stop = threading.Event()
+        try:
+            gains = self.sdr.get_tuner_gains()
+            tuner_type = TUNER_TYPE_CODES.get(self.sdr.get_tuner_id(), 0)
+            send_handshake(stream, tuner_type, len(gains))
+        except OSError as e:
+            stream.close()
+            return f"Failed to send handshake: {e}"
+
+        data_q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=self.queue_limit)
+        manual_mode = self.default_gain is not None
+        last_gain = self.default_gain if self.default_gain is not None else (
+            gains[0] if gains else 0
+        )
+        ctl_state = {"manual": manual_mode, "last_gain": last_gain, "gains": gains}
+
+        sender = threading.Thread(
+            target=self._sender_loop, args=(stream, data_q, connection_stop, errors),
+            daemon=True,
+        )
+        commander = threading.Thread(
+            target=self._command_loop, args=(stream, ctl_state, connection_stop, errors),
+            daemon=True,
+        )
+        sender.start()
+        commander.start()
+
+        # Main loop: sync reads -> bounded queue (ref rtl_tcp.rs:409-470)
+        while not (connection_stop.is_set() or self.shutdown.is_set()):
+            try:
+                data = self.sdr.read_sync(DEFAULT_BUF_LENGTH)
+            except Exception as e:
+                errors.append(f"Read error: {e}")
+                break
+            if not data:
+                errors.append("Device returned zero bytes")
+                break
+            try:
+                data_q.put(data, timeout=1.0)
+            except queue.Full:
+                # Bounded-queue backpressure: the reference's sync_channel
+                # blocks; a persistent stall means the client is dead.
+                if connection_stop.is_set():
+                    break
+        connection_stop.set()
+        try:
+            data_q.put_nowait(None)
+        except queue.Full:
+            pass
+        sender.join(timeout=2.0)
+        try:
+            stream.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        stream.close()
+        commander.join(timeout=2.0)
+        return ", ".join(errors) if errors else None
+
+    def _sender_loop(self, stream, data_q, stop: threading.Event, errors: list):
+        """Queue -> socket writer (ref sender_loop, rtl_tcp.rs:609-631)."""
+        while not (stop.is_set() or self.shutdown.is_set()):
+            try:
+                buf = data_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if buf is None:
+                break
+            try:
+                stream.sendall(buf)
+            except OSError as e:
+                errors.append(f"Failed to send data: {e}")
+                stop.set()
+                return
+
+    def _command_loop(self, stream, ctl, stop: threading.Event, errors: list):
+        """5-byte command reader (ref command_loop, rtl_tcp.rs:633-689)."""
+        while not (stop.is_set() or self.shutdown.is_set()):
+            try:
+                buf = self._read_exact(stream, 5)
+            except OSError as e:
+                errors.append(f"Command read failed: {e}")
+                stop.set()
+                return
+            if buf is None:  # EOF: client left
+                stop.set()
+                return
+            cmd = buf[0]
+            (param_u32,) = struct.unpack(">I", buf[1:5])
+            param_i32 = struct.unpack(">i", buf[1:5])[0]
+            try:
+                self._handle_command(cmd, param_u32, param_i32, ctl)
+            except Exception as e:
+                errors.append(str(e))
+                stop.set()
+                return
+
+    @staticmethod
+    def _read_exact(stream: socket.socket, n: int) -> bytes | None:
+        data = b""
+        while len(data) < n:
+            chunk = stream.recv(n - len(data))
+            if not chunk:
+                return None
+            data += chunk
+        return data
+
+    def _handle_command(self, cmd: int, u32: int, i32: int, ctl: dict) -> None:
+        """Apply one control message (ref handle_control_message,
+        rtl_tcp.rs:504-607)."""
+        sdr = self.sdr
+        if cmd == CMD_SET_FREQUENCY:
+            sdr.set_center_freq(u32)
+        elif cmd == CMD_SET_SAMPLE_RATE:
+            sdr.set_sample_rate(u32)
+            sdr.reset_buffer()
+        elif cmd == CMD_SET_GAIN_MODE:
+            ctl["manual"] = bool(u32)
+            sdr.set_tuner_gain(TunerGain.AUTO if not u32 else TunerGain.manual(0))
+        elif cmd == CMD_SET_GAIN:
+            ctl["manual"] = True
+            ctl["last_gain"] = i32
+            sdr.set_tuner_gain(TunerGain.manual(i32))
+        elif cmd == CMD_SET_FREQ_CORRECTION:
+            sdr.set_freq_correction(i32)
+        elif cmd == CMD_SET_IF_GAIN:
+            stage, gain = u32 >> 16, u32 & 0xFFFF
+            log.info("set if gain not supported (stage=%d, gain=%d)", stage, gain)
+        elif cmd == CMD_SET_TEST_MODE:
+            sdr.set_testmode(bool(u32))
+        elif cmd == CMD_SET_AGC_MODE:
+            log.info("set agc mode not implemented")
+        elif cmd == CMD_SET_DIRECT_SAMPLING:
+            mode = {0: DirectSampleMode.OFF, 1: DirectSampleMode.ON,
+                    2: DirectSampleMode.ON_SWAP}.get(u32, DirectSampleMode.OFF)
+            sdr.set_direct_sampling(mode)
+        elif cmd == CMD_SET_OFFSET_TUNING:
+            log.info("offset tuning request ignored (not supported): %s", bool(u32))
+        elif cmd == CMD_SET_RTL_XTAL:
+            log.info("set rtl xtal not supported: %d", u32)
+        elif cmd == CMD_SET_TUNER_XTAL:
+            log.info("set tuner xtal not supported: %d", u32)
+        elif cmd == CMD_SET_GAIN_BY_INDEX:
+            gains = ctl["gains"] or self.sdr.get_tuner_gains()
+            ctl["gains"] = gains
+            if u32 < len(gains):
+                ctl["manual"] = True
+                ctl["last_gain"] = gains[u32]
+                sdr.set_tuner_gain(TunerGain.manual(gains[u32]))
+        elif cmd == CMD_SET_BIAS_TEE:
+            sdr.set_bias_tee(bool(u32))
+        # unknown opcodes are ignored (ref rtl_tcp.rs:677)
