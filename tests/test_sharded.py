@@ -1,0 +1,116 @@
+"""Sharded-chain correctness on the virtual 8-device CPU mesh.
+
+Boundary exactness (SURVEY.md §5 "hard parts"): the sharded chain must
+produce the same audio as the serial chain — off-by-one-sample halo errors
+are silent SNR killers, so these tests compare sample counts exactly and
+values to float tolerance.
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from tpu_sdr.models import wbfm
+from tpu_sdr.parallel import mesh as mesh_mod
+from tpu_sdr.parallel.wbfm_sharded import make_sharded_wbfm, sharded_wbfm_apply
+from tpu_sdr.utils import synth
+
+# bytes per (station, whole block); must split across sp=4/8 into multiples
+# of 8 bytes * decim
+N_BYTES = 2 * 6 * 4096 * 8  # 196608 complex samples
+
+
+def _serial_reference(u8_2d: np.ndarray, config: wbfm.WbfmConfig) -> np.ndarray:
+    rows = []
+    for row in u8_2d:
+        s = wbfm.WbfmStreamer(config)
+        rows.append(s.demodulate(row))
+    return np.stack(rows)
+
+
+def _make_input(stations: int) -> np.ndarray:
+    rows = []
+    for i in range(stations):
+        u8, _ = synth.synth_wbfm_u8(
+            N_BYTES // 2, capture_rate=1_020_000,
+            audio_freq=500.0 * (i + 1), seed=i, noise_std=0.01,
+        )
+        rows.append(u8)
+    return np.stack(rows)
+
+
+@pytest.mark.parametrize("dp,sp,filter_mode", [
+    (1, 8, "boxcar"),
+    (2, 4, "boxcar"),
+    (1, 8, "fir"),
+    (2, 4, "fir"),
+])
+def test_sharded_matches_serial(dp, sp, filter_mode):
+    config = wbfm.WbfmConfig(filter_mode=filter_mode)
+    m = mesh_mod.make_mesh(dp=dp, sp=sp)
+    chain = make_sharded_wbfm(m, config)
+
+    stations = dp  # one station row per dp shard
+    blocks = _make_input(stations)
+    audio, counts = sharded_wbfm_apply(chain, blocks)
+    got = chain.assemble(audio, counts)
+
+    expected = _serial_reference(blocks, config)
+
+    assert got.shape == expected.shape, (got.shape, expected.shape)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("filter_mode", ["boxcar", "fir"])
+def test_sharded_matches_serial_aligned(filter_mode):
+    """Aligned shard sizes (n_out_loc % 85 == 0) take the frame-matmul
+    resampler path — verify it against the serial chain too."""
+    config = wbfm.WbfmConfig(filter_mode=filter_mode)
+    m = mesh_mod.make_mesh(dp=1, sp=8)
+    chain = make_sharded_wbfm(m, config)
+
+    n_loc = 2040 * 12  # % 24 == 0 and /6 % 85 == 0
+    n_bytes = 2 * n_loc * 8
+    u8, _ = synth.synth_wbfm_u8(n_bytes // 2, capture_rate=1_020_000, noise_std=0.01)
+    blocks = u8[None, :]
+    audio, counts = sharded_wbfm_apply(chain, blocks)
+    got = chain.assemble(audio, counts)
+    expected = _serial_reference(blocks, config)
+    assert got.shape == expected.shape
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_counts_partition_total():
+    """Per-shard emission counts must sum to the serial total — the
+    closed-form ownership rule leaves no gaps or overlaps."""
+    config = wbfm.WbfmConfig(filter_mode="boxcar")
+    m = mesh_mod.make_mesh(dp=1, sp=8)
+    chain = make_sharded_wbfm(m, config)
+    blocks = _make_input(1)
+    audio, counts = sharded_wbfm_apply(chain, blocks)
+    serial = _serial_reference(blocks, config)
+    assert int(np.asarray(counts).sum()) == serial.shape[1]
+
+
+def test_halo_pull_left():
+    """pull_left_halo moves each shard's tail to its right neighbor."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_sdr.parallel.halo import pull_left_halo
+
+    m = mesh_mod.make_mesh(dp=1, sp=8)
+    n_loc = 16
+    x = np.arange(8 * n_loc, dtype=np.float32)
+
+    def f(x_loc):
+        return pull_left_halo(x_loc, 3, "sp")
+
+    with m:
+        out = jax.jit(jax.shard_map(
+            f, mesh=m, in_specs=P("sp"), out_specs=P("sp")
+        ))(x)
+    out = np.asarray(out).reshape(8, 3)
+    np.testing.assert_array_equal(out[0], [0, 0, 0])  # left edge: zeros
+    for s in range(1, 8):
+        np.testing.assert_array_equal(out[s], x[s * n_loc - 3 : s * n_loc])

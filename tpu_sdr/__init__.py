@@ -10,6 +10,17 @@ Public API mirrors the reference facade (/root/reference/src/lib.rs).
 
 DEFAULT_BUF_LENGTH = 16 * 16384  # bytes per sync-read block (ref src/lib.rs:25)
 
+# Reliable platform pinning: the JAX_PLATFORMS env var still lets backend
+# discovery initialize every registered PJRT plugin (a tunneled TPU plugin
+# can block indefinitely); the config route skips discovery entirely.  Set
+# TPU_SDR_PLATFORM=cpu to keep a process off the TPU.
+import os as _os  # noqa: E402
+
+if _os.environ.get("TPU_SDR_PLATFORM"):
+    import jax as _jax  # noqa: E402
+
+    _jax.config.update("jax_platforms", _os.environ["TPU_SDR_PLATFORM"])
+
 from tpu_sdr.errors import (  # noqa: E402,F401
     DeviceNotFoundError,
     InvalidConfigError,

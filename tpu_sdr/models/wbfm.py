@@ -77,10 +77,17 @@ class WbfmState(NamedTuple):
 
 @dataclass
 class WbfmParams:
-    """Precomputed filter banks (host-designed, device-resident)."""
+    """Precomputed filter banks (host-designed, device-resident).
+
+    ``decim_W`` and ``resamp_V``/``box_V`` are the MXU-shaped matmul forms
+    of the same filters (see tpu_sdr.ops.fm banded/aligned ops).
+    """
 
     decim_taps: jax.Array
     resamp_poly: jax.Array  # (up, T)
+    decim_W: jax.Array  # (128*decim + L - decim, 128) banded decimator
+    resamp_V: jax.Array  # (down + T - 1, up) aligned polyphase resampler
+    box_V: jax.Array  # (down, up) aligned boxcar resampler
 
 
 def make_params(config: WbfmConfig) -> WbfmParams:
@@ -94,7 +101,13 @@ def make_params(config: WbfmConfig) -> WbfmParams:
         cutoff_frac=config.resample_cutoff_frac,
     )
     h_poly = F.make_polyphase(h, config.resample_up)
-    return WbfmParams(jnp.asarray(decim_taps), jnp.asarray(h_poly))
+    decim_W = F.make_banded_decim_matrix(decim_taps, config.decim)
+    resamp_V = F.make_aligned_poly_matrix(h_poly, config.resample_up, config.resample_down)
+    box_V, _, _ = F.make_aligned_boxcar_matrix(config.rate_out, config.rate_resample)
+    return WbfmParams(
+        jnp.asarray(decim_taps), jnp.asarray(h_poly), jnp.asarray(decim_W),
+        jnp.asarray(resamp_V), jnp.asarray(box_V),
+    )
 
 
 def init_state(config: WbfmConfig) -> WbfmState:
@@ -128,29 +141,56 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
         fir = state.fir
         y, quad = F.quadrature_demod(re, im, state.quad, atan_mode="fast")
     else:
-        re, im, fir = F.fir_decimate(re, im, params.decim_taps, config.decim, state.fir)
+        num_taps = config.decim * config.fir_taps_per_phase
+        re, im, fir = F.fir_decimate_mxu(
+            re, im, params.decim_W, num_taps, config.decim, state.fir
+        )
         y, quad = F.quadrature_demod(re, im, state.quad)
     if config.deemphasis_tau > 0:
         alpha = F.deemph_alpha(config.rate_out, config.deemphasis_tau)
         y, deemph = F.deemphasis(y, alpha, state.deemph)
     else:
         deemph = state.deemph
+
+    n_out = y.shape[0]
+    up, down = config.resample_up, config.resample_down
+    aligned = n_out % down == 0  # static: resolved at trace time
     if config.filter_mode == "boxcar":
-        audio, count, box_resamp = F.boxcar_resample_f32(
-            y, state.box_resamp, config.rate_out, config.rate_resample
-        )
+        if aligned:
+            # Stateless frame matmul (the boxcar emission pattern consumes
+            # every frame exactly; see make_aligned_boxcar_matrix).
+            audio, _ = F.aligned_resample(
+                y, params.box_V, up, down,
+                F.AlignedResampleState(jnp.zeros(0, jnp.float32)),
+            )
+            count = jnp.int32(audio.shape[0])
+            box_resamp = state.box_resamp
+        else:
+            audio, count, box_resamp = F.boxcar_resample_f32(
+                y, state.box_resamp, config.rate_out, config.rate_resample
+            )
         resamp = state.resamp
     else:
-        audio, count, resamp = F.polyphase_resample(
-            y, params.resamp_poly, config.resample_up, config.resample_down, state.resamp
-        )
+        if aligned:
+            # Frame-matmul path: valid while the stream sticks to aligned
+            # block sizes (the fractional phase then stays 0 forever).
+            audio, rs = F.aligned_resample(
+                y, params.resamp_V, up, down,
+                F.AlignedResampleState(state.resamp.hist),
+            )
+            count = jnp.int32(audio.shape[0])
+            resamp = F.ResampleState(rs.hist, state.resamp.t0)
+        else:
+            audio, count, resamp = F.polyphase_resample(
+                y, params.resamp_poly, up, down, state.resamp
+            )
         box_resamp = state.box_resamp
     return audio, count, WbfmState(rot, fir, quad, resamp, box_resamp, deemph)
 
 
 jax.tree_util.register_pytree_node(
     WbfmParams,
-    lambda p: ((p.decim_taps, p.resamp_poly), None),
+    lambda p: ((p.decim_taps, p.resamp_poly, p.decim_W, p.resamp_V, p.box_V), None),
     lambda _, c: WbfmParams(*c),
 )
 

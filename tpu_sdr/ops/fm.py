@@ -116,6 +116,164 @@ def fir_decimate(
 
 
 # ---------------------------------------------------------------------------
+# MXU-shaped streaming FIR decimation
+# ---------------------------------------------------------------------------
+#
+# lax.conv_general_dilated on a multi-million-sample 1-D signal lowers
+# catastrophically on TPU (hundreds of seconds of compile, ~30x off the
+# bandwidth ceiling at runtime).  The TPU-native formulation: block the
+# output axis into chunks of 128 and express each chunk as a matmul with a
+# banded weight matrix
+#
+#     W[r*decim + j, r] = taps_rev[j]        (r < 128, j < L)
+#
+# so  y[c*128 + r] = (x_chunk_c . W[:, r]).  The overlapping input windows
+# come from two reshapes of the same buffer (base frames + a rolled halo) —
+# no gathers, no im2col materialization beyond one (L-decim)-column halo.
+
+def make_banded_decim_matrix(taps: np.ndarray, decim: int, chunk_out: int = 128) -> np.ndarray:
+    """Banded matrix W (chunk_out*decim + L - decim, chunk_out) such that
+    chunked frames @ W computes the decimating FIR."""
+    taps_rev = np.asarray(taps, dtype=np.float32)[::-1]
+    L = len(taps_rev)
+    step = chunk_out * decim
+    W = np.zeros((step + L - decim, chunk_out), dtype=np.float32)
+    for r in range(chunk_out):
+        W[r * decim : r * decim + L, r] = taps_rev
+    return W
+
+
+def banded_decim_apply(xext: jax.Array, W: jax.Array, decim: int, m: int,
+                       chunk_out: int = 128) -> jax.Array:
+    """Core of the banded-matmul decimator.
+
+    ``xext``: (B, >= m*decim + L - decim) history-extended signals; returns
+    (B, m) decimated outputs ``y[b, k] = sum_j taps_rev[j] xext[b, k*decim+j]``.
+    """
+    B = xext.shape[0]
+    step = chunk_out * decim
+    halo = W.shape[0] - step
+    nchunks = -(-m // chunk_out)
+    pad = nchunks * step + step - xext.shape[1]
+    xp = jnp.pad(xext, ((0, 0), (0, max(pad, 0))))
+    base = xp[:, : nchunks * step].reshape(B, nchunks, step)
+    rolled = xp[:, step : step + nchunks * step].reshape(B, nchunks, step)[:, :, :halo]
+    frames = jnp.concatenate([base, rolled], axis=2)  # (B, nchunks, step+halo)
+    y = jax.lax.dot_general(
+        frames.reshape(B * nchunks, step + halo), W,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(B, nchunks * chunk_out)[:, :m]
+    return y
+
+
+def fir_decimate_mxu(
+    re: jax.Array, im: jax.Array, W: jax.Array, num_taps: int, decim: int,
+    state: FirState, chunk_out: int = 128,
+):
+    """Streaming decimating FIR as chunked banded matmuls (MXU path).
+
+    Bit-compatible with :func:`fir_decimate` (same window alignment); block
+    length must be a multiple of ``decim``.
+    """
+    n = re.shape[0]
+    assert n % decim == 0
+    m = n // decim
+    x = jnp.stack([
+        jnp.concatenate([state.hist_re, re]),
+        jnp.concatenate([state.hist_im, im]),
+    ])  # (2, n + L - 1)
+    y = banded_decim_apply(x, W, decim, m, chunk_out)
+    new_state = FirState(
+        jnp.concatenate([state.hist_re, re])[n:],
+        jnp.concatenate([state.hist_im, im])[n:],
+    )
+    return y[0], y[1], new_state
+
+
+# ---------------------------------------------------------------------------
+# Phase-aligned frame-matmul resampler
+# ---------------------------------------------------------------------------
+#
+# When the block length is a multiple of ``down``, the rational resampler's
+# emission pattern repeats every frame of ``down`` inputs -> exactly ``up``
+# outputs, each a fixed window into the frame (+ a T-1 left halo).  The whole
+# op becomes one (R, down+T-1) @ (down+T-1, up) matmul — no gathers, and the
+# fractional phase state stays 0 forever.  The same structure covers both
+# the polyphase FIR interpolator and the reference's boxcar resampler
+# (simple_fm.rs:408-426): only the window matrix V differs.
+
+def make_aligned_poly_matrix(h_poly: np.ndarray, up: int, down: int) -> np.ndarray:
+    """V for the polyphase resampler: V[(T-1) + o_s - t, s] = h_poly[p_s, t]
+    with o_s = (s*down)//up, p_s = (s*down) % up."""
+    hp = np.asarray(h_poly, dtype=np.float32)
+    T = hp.shape[1]
+    V = np.zeros((down + T - 1, up), dtype=np.float32)
+    for s in range(up):
+        o = (s * down) // up
+        p = (s * down) % up
+        for t in range(T):
+            V[(T - 1) + o - t, s] = hp[p, t]
+    return V
+
+
+def make_aligned_boxcar_matrix(rate_out: int, rate_resample: int) -> tuple[np.ndarray, int, int]:
+    """V for the reference boxcar resampler + its (up, down) frame geometry.
+
+    Emission j covers input samples (e_{j-1}, e_j] with
+    e_j = ceil((j+1)*fast/slow) - 1, scaled by 1/(fast//slow)
+    (simple_fm.rs:408-426).  Windows never cross the frame's left edge
+    (e_{-1} + 1 == 0), so V has no halo rows: shape (down, up)."""
+    import math
+
+    g = math.gcd(rate_out, rate_resample)
+    up, down = rate_resample // g, rate_out // g
+    div = rate_out // rate_resample
+    V = np.zeros((down, up), dtype=np.float32)
+    fast, slow = rate_out, rate_resample
+    for s in range(up):
+        e = ((s + 1) * fast + slow - 1) // slow - 1
+        e_prev = (s * fast + slow - 1) // slow - 1
+        for i in range(e_prev + 1, e + 1):
+            V[i, s] = 1.0 / div
+    return V, up, down
+
+
+class AlignedResampleState(NamedTuple):
+    hist: jax.Array  # (T-1,) trailing inputs
+
+
+def aligned_resample_init(T: int) -> AlignedResampleState:
+    return AlignedResampleState(jnp.zeros(T - 1, jnp.float32))
+
+
+def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
+                     state: AlignedResampleState):
+    """Frame-matmul resampler: ``x`` length must be a multiple of ``down``;
+    emits exactly ``len(x)//down * up`` samples."""
+    Tm1 = V.shape[0] - down
+    n = x.shape[0]
+    assert n % down == 0, f"block of {n} not divisible by down={down}"
+    R = n // down
+    xe = jnp.concatenate([state.hist, x])  # (n + T - 1)
+    base = xe[Tm1:].reshape(R, down)
+    # left halo: previous T-1 samples of each frame = xe[r*down : r*down+T-1]
+    left = xe[: R * down].reshape(R, down)[:, :Tm1] if Tm1 <= down else None
+    if Tm1 <= down:
+        frames = jnp.concatenate([left, base], axis=1)
+    else:  # very long windows: fall back to explicit slicing
+        idx = jnp.arange(down + Tm1)
+        starts = jnp.arange(R) * down
+        frames = xe[starts[:, None] + idx[None, :]]
+    y = jax.lax.dot_general(
+        frames, V, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (R, up)
+    new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
+    return y.reshape(R * up), new_state
+
+
+# ---------------------------------------------------------------------------
 # Float boxcar stages (reference-parity filters, vectorized)
 # ---------------------------------------------------------------------------
 
