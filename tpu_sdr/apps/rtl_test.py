@@ -86,22 +86,28 @@ def main(argv=None) -> int:
     sdr.reset_buffer()
     print("Reading samples in sync mode...")
 
+    import numpy as np
+
+    from tpu_sdr.native import count_pattern_breaks
+
     shutdown = threading.Event()
     blocks = 0
-    expected_next: int | None = None
-    lost_total = 0
+    breaks_total = 0
+    last_counter = -1
     try:
         while not shutdown.is_set():
             data = sdr.read_sync(DEFAULT_BUF_LENGTH)
             if len(data) < DEFAULT_BUF_LENGTH:
                 print(f"Short read ({len(data)}), samples lost, exiting!", file=sys.stderr)
                 break
-            # Counter continuity check (beyond the reference)
-            if expected_next is not None and data[0] != expected_next:
-                lost = (data[0] - expected_next) & 0xFF
-                lost_total += lost
-                print(f"lost at least {lost} bytes", file=sys.stderr)
-            expected_next = (data[-1] + 1) & 0xFF
+            # Full per-byte counter continuity check, carried across blocks
+            # (native scan; beyond the reference, which only detects short
+            # reads, rtl_test.rs:170-181)
+            breaks, last_counter = count_pattern_breaks(
+                np.frombuffer(data, dtype=np.uint8), last_counter)
+            if breaks:
+                breaks_total += breaks
+                print(f"{breaks} counter discontinuities in block", file=sys.stderr)
             blocks += 1
             if args.blocks and blocks >= args.blocks:
                 break
@@ -109,7 +115,7 @@ def main(argv=None) -> int:
         pass
 
     print(f"\nRead {blocks} blocks ({blocks * DEFAULT_BUF_LENGTH} bytes), "
-          f"{lost_total} bytes lost. Closing device...")
+          f"{breaks_total} discontinuities. Closing device...")
     sdr.close()
     return 0
 

@@ -45,9 +45,12 @@ def make_demodulator(mode: str):
     filter_mode = "boxcar" if mode == "boxcar" else "fir"
     streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=filter_mode))
 
+    from tpu_sdr.native import f32_to_s16
+
     def demod(buf: np.ndarray) -> np.ndarray:
         # float [-1,1] -> s16, matching the reference's output format
-        return wbfm.audio_to_s16(streamer.demodulate(buf))
+        # (native clamp/convert when the C++ runtime is built)
+        return f32_to_s16(streamer.demodulate(buf))
 
     return demod, f"float chain ({filter_mode})"
 

@@ -35,6 +35,16 @@ class BlockSource:
         """Return exactly ``length`` bytes, or None at end of stream."""
         raise NotImplementedError
 
+    def fileno(self) -> int | None:
+        """OS fd for zero-Python native pumping, or None."""
+        return None
+
+    @property
+    def wants_backpressure(self) -> bool:
+        """True if overrun should stall the producer instead of dropping
+        (replayable sources); live radios drop, like the reference feeder."""
+        return False
+
     def close(self) -> None: ...
 
 
@@ -51,6 +61,17 @@ class FileSource(BlockSource):
         if len(data) < length:
             return None
         return data
+
+    def fileno(self) -> int | None:
+        return self._f.fileno()
+
+    @property
+    def loop(self) -> bool:
+        return self._loop
+
+    @property
+    def wants_backpressure(self) -> bool:
+        return True
 
     def close(self) -> None:
         self._f.close()
@@ -104,6 +125,9 @@ class RtlTcpClientSource(BlockSource):
     def read_block(self, length: int) -> bytes | None:
         return self._read_exact(length)
 
+    def fileno(self) -> int | None:
+        return self.sock.fileno()
+
     def _read_exact(self, n: int) -> bytes | None:
         data = b""
         while len(data) < n:
@@ -117,38 +141,104 @@ class RtlTcpClientSource(BlockSource):
         self.sock.close()
 
 
+def _native_runtime():
+    try:
+        import tpu_sdr.native as nat
+        return nat if nat.available() else None
+    except Exception:
+        return None
+
+
 class BlockFeeder:
-    """Reader thread + bounded queue + numpy view hand-off.
+    """Producer (native pump or reader thread) + bounded queue + numpy
+    hand-off.
 
     The bounded queue reproduces the reference's backpressure semantics
-    (rtl_tcp.rs:24,365).  ``blocks()`` yields numpy u8 arrays ready for
-    ``jax.device_put``; with ``prefetch_to_device`` the next block's H2D
-    transfer is issued before the previous result is consumed.
+    (rtl_tcp.rs:24,365).  When the native runtime is built, the queue is the
+    C++ ring buffer; sources exposing an OS fd (files, rtl_tcp sockets) are
+    pumped entirely by the native reader thread with no Python in the byte
+    path — the framework analog of the reference's native receive thread
+    (simple_fm.rs:89-132).  ``blocks()`` yields numpy u8 arrays ready for
+    ``jax.device_put``.
     """
 
     def __init__(self, source: BlockSource, block_bytes: int = DEFAULT_BUF_LENGTH,
-                 queue_blocks: int = 16):
+                 queue_blocks: int = 16, native: bool | None = None):
         self.source = source
         self.block_bytes = block_bytes
-        self._q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=queue_blocks)
+        self._queue_blocks = queue_blocks
+        self._nat = _native_runtime() if native in (None, True) else None
+        if native is True and self._nat is None:
+            raise RuntimeError("native runtime requested but unavailable")
+        self._ring = None
+        self._pump = None
+        self._q: "queue.Queue[bytes | None] | None" = None
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._reader, daemon=True)
-        self.dropped = 0
+        self._thread: threading.Thread | None = None
+        self._py_dropped = 0
+
+    @property
+    def is_native(self) -> bool:
+        return self._ring is not None
+
+    @property
+    def dropped(self) -> int:
+        if self._ring is not None:
+            return self._ring.dropped + self._py_dropped
+        return self._py_dropped
 
     def start(self) -> "BlockFeeder":
+        if self._nat is not None:
+            self._ring = self._nat.NativeRing(self.block_bytes, self._queue_blocks)
+            fd = self.source.fileno()
+            loop = bool(getattr(self.source, "loop", False))
+            if fd is not None:
+                # Fully native path: C++ thread reads the fd straight into
+                # the ring; Python only pops finished blocks.
+                self._pump = self._nat.NativePump(
+                    self._ring, fd, loop_file=loop,
+                    block_on_full=self.source.wants_backpressure)
+                return self
+            # Source needs Python to produce bytes (e.g. a device object);
+            # a thin thread pushes into the native ring.
+            self._thread = threading.Thread(target=self._reader_native, daemon=True)
+            self._thread.start()
+            return self
+        self._q = queue.Queue(maxsize=self._queue_blocks)
+        self._thread = threading.Thread(target=self._reader_py, daemon=True)
         self._thread.start()
         return self
 
     def stop(self) -> None:
         self._stop.set()
-        try:
-            self._q.put_nowait(None)
-        except queue.Full:
-            pass
-        self._thread.join(timeout=2.0)
+        if self._pump is not None:
+            self._pump.stop()
+            self._pump = None
+        if self._ring is not None:
+            self._ring.set_eof()
+        if self._q is not None:
+            try:
+                self._q.put_nowait(None)
+            except queue.Full:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
         self.source.close()
 
-    def _reader(self) -> None:
+    def _reader_native(self) -> None:
+        backpressure = self.source.wants_backpressure
+        while not self._stop.is_set():
+            data = self.source.read_block(self.block_bytes)
+            if data is None:
+                break
+            while not self._ring.push(data):
+                if not backpressure:
+                    break  # dropped; ring counts it
+                if self._stop.wait(0.005):
+                    break
+        self._ring.set_eof()
+
+    def _reader_py(self) -> None:
         while not self._stop.is_set():
             data = self.source.read_block(self.block_bytes)
             if data is None:
@@ -156,13 +246,23 @@ class BlockFeeder:
             try:
                 self._q.put(data, timeout=1.0)
             except queue.Full:
-                self.dropped += 1
+                self._py_dropped += 1
         try:
             self._q.put_nowait(None)
         except queue.Full:
             pass
 
     def blocks(self) -> Iterator[np.ndarray]:
+        if self._ring is not None:
+            while True:
+                try:
+                    blk = self._ring.pop(timeout_ms=30_000)
+                except TimeoutError:
+                    return
+                if blk is None:
+                    return
+                yield blk
+            return
         while True:
             data = self._q.get()
             if data is None:
