@@ -144,3 +144,16 @@ def test_boxcar_chain_matches_exact_reference_output():
     snr, lag = synth.align_and_snr(exact_audio, got, max_lag=4, skip=50)
     assert lag == 0
     assert snr >= 60.0, f"boxcar-chain SNR vs reference too low: {snr:.1f} dB"
+
+
+def test_split_bf16_decimator_matches_f32():
+    """The split-precision bf16 MXU decimator must agree with the f32 path
+    to well above the 60 dB fidelity bound (samples x255 are exact in bf16;
+    hi+lo taps give ~16-bit weight precision)."""
+    u8, _ = synth.synth_wbfm_u8(245_760, capture_rate=1_020_000)
+    got_f32 = _run_chain(u8, wbfm.WbfmConfig(filter_mode="fir", mxu_precision="f32"))
+    got_bf16 = _run_chain(u8, wbfm.WbfmConfig(filter_mode="fir", mxu_precision="split_bf16"))
+    assert got_f32.shape == got_bf16.shape
+    err = got_bf16 - got_f32
+    snr = 10 * np.log10(np.mean(got_f32**2) / max(np.mean(err**2), 1e-30))
+    assert snr >= 80.0, f"split-bf16 vs f32 agreement too low: {snr:.1f} dB"

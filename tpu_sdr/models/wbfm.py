@@ -54,6 +54,11 @@ class WbfmConfig:
     resample_taps_per_phase: int = 48
     resample_cutoff_frac: float = 0.8
     deemphasis_tau: float = 0.0  # seconds; 0 disables (reference has none)
+    # "split_bf16": decimator matmuls in split-precision bfloat16 (the u8
+    #   samples x255 are exact 9-bit integers, hence exact in bf16; taps are
+    #   carried as a hi+lo bf16 pair for ~16-bit weight precision) — ~2x the
+    #   f32 MXU rate with >90 dB agreement.  "f32": plain float32.
+    mxu_precision: str = "split_bf16"
 
     @property
     def resample_up(self) -> int:
@@ -88,6 +93,7 @@ class WbfmParams:
     decim_W: jax.Array  # (128*decim + L - decim, 128) banded decimator
     resamp_V: jax.Array  # (down + T - 1, up) aligned polyphase resampler
     box_V: jax.Array  # (down, up) aligned boxcar resampler
+    decim_W_split: tuple[jax.Array, jax.Array] | None = None  # bf16 hi/lo
 
 
 def make_params(config: WbfmConfig) -> WbfmParams:
@@ -104,9 +110,13 @@ def make_params(config: WbfmConfig) -> WbfmParams:
     decim_W = F.make_banded_decim_matrix(decim_taps, config.decim)
     resamp_V = F.make_aligned_poly_matrix(h_poly, config.resample_up, config.resample_down)
     box_V, _, _ = F.make_aligned_boxcar_matrix(config.rate_out, config.rate_resample)
+    W_split = (
+        F.make_split_bf16(np.asarray(decim_W))
+        if config.mxu_precision == "split_bf16" else None
+    )
     return WbfmParams(
         jnp.asarray(decim_taps), jnp.asarray(h_poly), jnp.asarray(decim_W),
-        jnp.asarray(resamp_V), jnp.asarray(box_V),
+        jnp.asarray(resamp_V), jnp.asarray(box_V), W_split,
     )
 
 
@@ -143,7 +153,8 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
     else:
         num_taps = config.decim * config.fir_taps_per_phase
         re, im, fir = F.fir_decimate_mxu(
-            re, im, params.decim_W, num_taps, config.decim, state.fir
+            re, im, params.decim_W, num_taps, config.decim, state.fir,
+            W_split=params.decim_W_split,
         )
         y, quad = F.quadrature_demod(re, im, state.quad)
     if config.deemphasis_tau > 0:
@@ -190,7 +201,8 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
 
 jax.tree_util.register_pytree_node(
     WbfmParams,
-    lambda p: ((p.decim_taps, p.resamp_poly, p.decim_W, p.resamp_V, p.box_V), None),
+    lambda p: ((p.decim_taps, p.resamp_poly, p.decim_W, p.resamp_V, p.box_V,
+                p.decim_W_split), None),
     lambda _, c: WbfmParams(*c),
 )
 

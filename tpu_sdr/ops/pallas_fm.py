@@ -1,0 +1,378 @@
+"""Fused WBFM demodulation front-end as a Pallas TPU kernel.
+
+The XLA chain (tpu_sdr.models.wbfm) materializes the banded-matmul frames
+and every inter-stage array in HBM.  This kernel runs the bandwidth- and
+FLOP-dominant part of the receive chain — u8 unpack -> fs/4 rotate ->
+banded MXU FIR decimation (split-precision bfloat16) -> quadrature
+discriminator — inside VMEM, one time-chunk per grid step, with the
+streaming carries (FIR history, discriminator previous sample) living in
+VMEM scratch across the sequential TPU grid.  HBM traffic is the u8 input
+once plus the 6x-decimated discriminator output; Pallas double-buffers the
+input DMA against compute automatically.  The final audio resampler (0.5%
+of the FLOPs) stays in XLA as the aligned frame matmul
+(tpu_sdr.ops.fm.aligned_resample), which Mosaic cannot express without an
+85x128 -> 128x85 relayout.
+
+Chain semantics mirror the reference ``simple_fm`` data plane
+(/root/reference/examples/simple_fm.rs:256-426) in the FIR-quality form;
+tests assert >=80 dB agreement with the f32 XLA chain.
+
+Geometry (defaults): decim d=6, taps L=72, one chunk = 128*down*d = 65280
+complex samples = 130560 bytes, emitting 128*down decimated samples;
+requires gcd(down, 128) == 1 (so blocks stay resampler-aligned), L-1 <=
+128*d, T-1 <= down.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_sdr.ops import fm as F
+
+
+class PallasWbfmSpec(NamedTuple):
+    """Static geometry for the fused kernel."""
+
+    decim: int
+    num_taps: int
+    up: int
+    down: int
+    taps_per_phase: int  # resampler T
+
+    @property
+    def m_chunk(self) -> int:  # decimated samples per chunk
+        return 128 * self.down
+
+    @property
+    def chunk_complex(self) -> int:
+        return self.m_chunk * self.decim
+
+    @property
+    def chunk_bytes(self) -> int:
+        return 2 * self.chunk_complex
+
+    @property
+    def rows(self) -> int:  # frame rows for the decimator
+        return self.down
+
+    @property
+    def row_width(self) -> int:  # complex samples per frame row
+        return 128 * self.decim
+
+    @property
+    def audio_per_chunk(self) -> int:
+        return 128 * self.up
+
+    def validate(self) -> None:
+        assert math.gcd(self.down, 128) == 1, "down must be coprime with 128"
+        assert self.num_taps - 1 <= self.row_width, "FIR history exceeds one row"
+        assert self.taps_per_phase - 1 <= self.down, "resampler history exceeds down"
+
+
+# Minimax polynomial for atan(t) = t * P(t^2) on t in [0,1]; max abs error
+# 3e-9 (below f32 resolution).  Mosaic has no atan2 primitive, so the kernel
+# evaluates this range-reduced polynomial on the VPU instead.
+_ATAN_COEFFS = (
+    9.9999999977e-01, -3.3333315712e-01, 1.9999061227e-01, -1.4269564759e-01,
+    1.0978886061e-01, -8.4776801616e-02, 5.9162933141e-02, -3.2315759306e-02,
+    1.1493400941e-02, -1.9162792005e-03,
+)
+
+
+def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+    """Full-quadrant atan2 from the reduced polynomial (f32-accurate)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.where(hi == 0, 1.0, hi)
+    s = t * t
+    p = jnp.float32(_ATAN_COEFFS[-1])
+    for c in _ATAN_COEFFS[-2::-1]:
+        p = p * s + jnp.float32(c)
+    r = p * t
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    r = jnp.where(y < 0, -r, r)
+    return jnp.where((x == 0) & (y == 0), 0.0, r)
+
+
+# Kernel carry: one (4, 128) f32 array.
+#   row 0: FIR history re (L-1 entries), row 1: FIR history im,
+#   row 2/3: the previous chunk's last decimated row (re/im) — only lane
+#   127 (the discriminator's previous sample) is meaningful, but carrying
+#   the whole row keeps every kernel access a vector op (Mosaic supports
+#   neither scalar VMEM stores nor two-axis broadcasts).
+STATE_ROWS = 4
+
+
+def pack_state(state, spec: PallasWbfmSpec) -> jax.Array:
+    """WbfmState -> (4, 128) f32 kernel carry (FIR history in x255 scale)."""
+    Lm1 = spec.num_taps - 1
+    s = jnp.zeros((STATE_ROWS, 128), jnp.float32)
+    s = s.at[0, :Lm1].set(state.fir.hist_re * 255.0)
+    s = s.at[1, :Lm1].set(state.fir.hist_im * 255.0)
+    s = s.at[2, 127].set(state.quad.pre_re)
+    s = s.at[3, 127].set(state.quad.pre_im)
+    return s
+
+
+def unpack_state(s: jax.Array, rot_phase, resamp_state, spec: PallasWbfmSpec):
+    """(4, 128) carry (+ rotator phase, resampler state) -> WbfmState."""
+    from tpu_sdr.models import wbfm as M
+
+    Lm1 = spec.num_taps - 1
+    return M.WbfmState(
+        F.RotatorState(rot_phase),
+        F.FirState(s[0, :Lm1] / 255.0, s[1, :Lm1] / 255.0),
+        F.QuadState(s[2, 127], s[3, 127]),
+        resamp_state,
+        F.boxcar_resample_init(),
+        F.deemph_init(),
+    )
+
+
+def _kernel(spec: PallasWbfmSpec, atan_mode: str,
+            phase_ref, data_ref, w_hi_ref, w_lo_ref, state_in_ref,
+            z_ref, state_out_ref, carry):
+    d = spec.decim
+    L = spec.num_taps
+    Lm1 = L - 1
+    rows = spec.rows              # 85
+    width = spec.row_width        # 768
+    i = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[:] = state_in_ref[:]
+
+    # ---- u8 unpack: one int16 = one complex sample (I low byte, Q high
+    # byte, little-endian), so no lane interleaving is needed; x255 scale ----
+    v = data_ref[0].astype(jnp.int32)  # (rows, width)
+    re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+    im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+
+    # ---- fs/4 rotation: multiply sample k by j**(k+phase); width % 4 == 0
+    # so the pattern depends only on the column ----
+    kmod = (jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+            + phase_ref[0]) % 4
+    rre = jnp.where(kmod == 0, re,
+                    jnp.where(kmod == 1, -im, jnp.where(kmod == 2, -re, im)))
+    rim = jnp.where(kmod == 0, im,
+                    jnp.where(kmod == 1, re, jnp.where(kmod == 2, -im, -re)))
+
+    # ---- banded MXU FIR decimation (split bf16) ----
+    # frame r covers x[r*width - (L-1) : r*width + 128*d + L - d - (L-1)]
+    # = [last L-1 of row r-1 | row r[: 128*d - d + ... ]]; samples x255 are
+    # exact 9-bit integers, so the bf16 cast of the data is lossless.
+    row_len = 128 * d + L - d  # 834
+
+    def frames_for(x, hist_row):
+        # tail[r] = x[r, width-(L-1):]; the circular lane roll re-aligns the
+        # slice to lane offset 0 — Mosaic cannot concatenate operands whose
+        # lane offsets differ.
+        tail = pltpu.roll(x, Lm1, 1)[:, :Lm1]
+        left = jnp.concatenate([hist_row, tail[:-1]], axis=0)
+        frames = jnp.concatenate([left, x[:, : row_len - Lm1]], axis=1)
+        return frames, tail[rows - 1:rows]
+
+    fr, new_fir_re = frames_for(rre, carry[0:1, :Lm1])
+    fi, new_fir_im = frames_for(rim, carry[1:2, :Lm1])
+    frames = jnp.concatenate([fr, fi], axis=0).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    y = (
+        jax.lax.dot_general(frames, w_hi_ref[:], dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(frames, w_lo_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+    )  # (2*rows, 128); y[r*128+c] is decimated sample m = r*128+c
+    y_re = y[:rows]
+    y_im = y[rows:]
+
+    # ---- quadrature discriminator: angle(x[k] * conj(x[k-1])) / pi ----
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    def shift_one(x, prev_row):
+        # prev of flat element r*128+c: x[r, c-1] for c>0, else the lane-127
+        # element of the row above (row above of row 0 = carried last row).
+        rolled = pltpu.roll(x, 1, 1)
+        ycat = jnp.concatenate([prev_row, x], axis=0)        # (rows+1, 128)
+        col_prev = pltpu.roll(ycat, 1, 1)[:rows, 0:1]        # = ycat[r,127]
+        return jnp.where(col == 0, col_prev, rolled)
+
+    b_re = shift_one(y_re, carry[2:3, :])
+    b_im = shift_one(y_im, carry[3:4, :])
+    c_re = y_re * b_re + y_im * b_im
+    c_im = y_im * b_re - y_re * b_im
+    if atan_mode == "fast":
+        ang = F.fast_atan2_f32(c_im, c_re)
+    else:
+        ang = _atan2_poly(c_im, c_re)
+    z_ref[:] = (ang * jnp.float32(1.0 / np.pi)).reshape(1, rows, 128)
+
+    # ---- update carries (2-D vector stores; Mosaic rejects scalar stores
+    # to VMEM) ----
+    carry[0:1, :Lm1] = new_fir_re
+    carry[1:2, :Lm1] = new_fir_im
+    carry[2:3, :] = y_re[rows - 1:rows, :]
+    carry[3:4, :] = y_im[rows - 1:rows, :]
+
+    @pl.when(i == n_prog - 1)
+    def _():
+        state_out_ref[:] = carry[:]
+
+
+def default_spec(config=None) -> PallasWbfmSpec:
+    """Spec from a WbfmConfig (defaults to the standard broadcast chain)."""
+    if config is None:
+        from tpu_sdr.models import wbfm as M
+
+        config = M.WbfmConfig(filter_mode="fir")
+    spec = PallasWbfmSpec(
+        decim=config.decim,
+        num_taps=config.decim * config.fir_taps_per_phase,
+        up=config.resample_up,
+        down=config.resample_down,
+        taps_per_phase=config.resample_taps_per_phase,
+    )
+    spec.validate()
+    return spec
+
+
+def make_kernel_params(config=None):
+    """(W_hi, W_lo, V) device arrays for the fused chain."""
+    from tpu_sdr.models import wbfm as M
+    from tpu_sdr.utils import firdes
+
+    if config is None:
+        config = M.WbfmConfig(filter_mode="fir")
+    taps = firdes.decimating_lowpass(
+        config.decim, taps_per_phase=config.fir_taps_per_phase,
+        cutoff_frac=config.fir_cutoff_frac)
+    W = F.make_banded_decim_matrix(taps, config.decim)
+    W_hi, W_lo = F.make_split_bf16(W)  # folds the x255 sample scale
+    h = firdes.resampler_taps(
+        config.resample_up, config.resample_down,
+        taps_per_phase=config.resample_taps_per_phase,
+        cutoff_frac=config.resample_cutoff_frac)
+    h_poly = F.make_polyphase(h, config.resample_up)
+    V = jnp.asarray(F.make_aligned_poly_matrix(
+        h_poly, config.resample_up, config.resample_down))
+    return W_hi, W_lo, V
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _front_pallas(data_i16, phase, state, w_hi, w_lo, spec, atan_mode,
+                  interpret):
+    """The Pallas front-end: (nchunks, rows, width) int16 -> discriminator
+    output z (nchunks, rows, 128) + new carry."""
+    rows, width = spec.rows, spec.row_width
+    nchunks = data_i16.shape[0]
+    return pl.pallas_call(
+        partial(_kernel, spec, atan_mode),
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # phase
+            pl.BlockSpec((1, rows, width), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_hi.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_lo.shape[0], 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STATE_ROWS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STATE_ROWS, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nchunks, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((STATE_ROWS, 128), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((STATE_ROWS, 128), jnp.float32)],
+        interpret=interpret,
+    )(phase, data_i16, w_hi, w_lo, state)
+
+
+@partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret"))
+def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
+                     state: jax.Array, resamp_hist: jax.Array,
+                     w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
+                     spec: PallasWbfmSpec, atan_mode: str = "exact",
+                     interpret: bool = False):
+    """Fused kernel + XLA resampler over a whole block.
+
+    ``data_i16``: (nchunks, rows, width) int16 view of the u8 I/Q block
+    (see :func:`view_u8_as_i16`).  ``phase``: (1,) int32 fs/4 rotator phase
+    of the first sample.  ``state``: (3, 128) f32 kernel carry
+    (:func:`pack_state`); ``resamp_hist``: (T-1,) f32 resampler history.
+    Returns (audio (nchunks*128*up,), new_state, new_resamp_hist).
+    """
+    z, new_state = _front_pallas(
+        data_i16, phase, state, w_hi, w_lo, spec, atan_mode, interpret)
+    audio, rs = F.aligned_resample(
+        z.reshape(-1), v, spec.up, spec.down,
+        F.AlignedResampleState(resamp_hist))
+    return audio, new_state, rs.hist
+
+
+def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
+    """Host-side reinterpret of a u8 I/Q block as the kernel's int16 layout
+    (one little-endian int16 per complex sample: I low byte, Q high byte).
+
+    Zero-copy (numpy view); block length must be a multiple of
+    ``spec.chunk_bytes``.
+    """
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    assert buf.size % spec.chunk_bytes == 0, (
+        f"block of {buf.size} bytes not a multiple of chunk {spec.chunk_bytes}")
+    return buf.view("<i2").reshape(-1, spec.rows, spec.row_width)
+
+
+class PallasWbfmStreamer:
+    """Streaming host wrapper around the fused kernel (chunk-aligned
+    residual carry, like ``wbfm.WbfmStreamer``)."""
+
+    def __init__(self, config=None, atan_mode: str = "exact",
+                 interpret: bool | None = None):
+        from tpu_sdr.models import wbfm as M
+
+        self.config = config or M.WbfmConfig(filter_mode="fir")
+        self.spec = default_spec(self.config)
+        self.w_hi, self.w_lo, self.v = make_kernel_params(self.config)
+        self.atan_mode = atan_mode
+        self.interpret = _interpret_default() if interpret is None else interpret
+        self.state = jnp.zeros((STATE_ROWS, 128), jnp.float32)
+        self.state = self.state.at[2, 127].set(1.0)  # quad prev = 1+0j
+        self.resamp_hist = jnp.zeros(self.spec.taps_per_phase - 1, jnp.float32)
+        self.phase = 0
+        self._pending = np.zeros(0, dtype=np.uint8)
+
+    def demodulate(self, buf: np.ndarray) -> np.ndarray:
+        data = np.concatenate([self._pending, np.asarray(buf, dtype=np.uint8)])
+        usable = len(data) - (len(data) % self.spec.chunk_bytes)
+        self._pending = data[usable:]
+        if usable == 0:
+            return np.zeros(0, dtype=np.float32)
+        d16 = view_u8_as_i16(data[:usable], self.spec)
+        audio, self.state, self.resamp_hist = demodulate_fused(
+            jnp.asarray(d16), jnp.asarray([self.phase], jnp.int32), self.state,
+            self.resamp_hist, self.w_hi, self.w_lo, self.v, self.spec,
+            atan_mode=self.atan_mode, interpret=self.interpret)
+        self.phase = (self.phase + usable // 2) % 4
+        return np.asarray(audio)
