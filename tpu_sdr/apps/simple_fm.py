@@ -21,7 +21,6 @@ import logging
 import queue
 import sys
 import threading
-import time
 
 import numpy as np
 
@@ -81,20 +80,20 @@ def receive_loop(sdr: RtlSdr, q: "queue.Queue[bytes | None]", shutdown: threadin
 def process_loop(demod, q, shutdown: threading.Event):
     """Demod thread with running-average timing (ref process,
     simple_fm.rs:135-170)."""
-    total_time = 0.0
-    loops = 0
+    from tpu_sdr.utils.profiling import BlockStats
+
+    stats = BlockStats()
     while not shutdown.is_set():
         buf = q.get()
         if buf is None:
             break
-        t0 = time.monotonic()
-        audio = demod(np.frombuffer(buf, dtype=np.uint8))
-        total_time += time.monotonic() - t0
-        loops += 1
+        data = np.frombuffer(buf, dtype=np.uint8)
+        with stats.block(len(data) // 2):
+            audio = demod(data)
         output(audio)
-    if loops:
-        log.info("Average processing time: %.2fms (%d loops)",
-                 1000.0 * total_time / loops, loops)
+    if stats.blocks:
+        log.info("Average processing time: %.2fms (%d loops); %s",
+                 stats.avg_block_ms, stats.blocks, stats.summary())
 
 
 def run_file(path: str, demod) -> None:
@@ -117,16 +116,20 @@ def main(argv=None) -> int:
     p.add_argument("--file", help="read raw u8 I/Q from file instead of a device")
     p.add_argument("--device", type=int, default=0)
     p.add_argument("--mode", choices=["exact", "boxcar", "fir"], default="fir")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace to DIR")
     args = p.parse_args(argv)
 
     from tpu_sdr.models.wbfm_exact import optimal_settings
+    from tpu_sdr.utils.profiling import trace
 
     radio, _demod_cfg = optimal_settings(args.freq, SAMPLE_RATE)
     demod, desc = make_demodulator(args.mode)
     log.info("Demodulating with %s", desc)
 
     if args.file:
-        run_file(args.file, demod)
+        with trace(args.trace):
+            run_file(args.file, demod)
         return 0
 
     sdr = RtlSdr.open(DeviceId.index(args.device))
@@ -146,7 +149,8 @@ def main(argv=None) -> int:
     rx = threading.Thread(target=receive_loop, args=(sdr, q, shutdown))
     rx.start()
     try:
-        process_loop(demod, q, shutdown)
+        with trace(args.trace):
+            process_loop(demod, q, shutdown)
     except KeyboardInterrupt:
         shutdown.set()
     rx.join()

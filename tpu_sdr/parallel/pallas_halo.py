@@ -1,0 +1,111 @@
+"""Pod-scale halo exchange as a Pallas remote-DMA kernel.
+
+``halo.pull_left_halo`` uses ``lax.ppermute``, which is the right tool at
+small scale but synchronizes through XLA's collective scheduler.  At pod
+scale the kernel-level form — ``pltpu.make_async_remote_copy`` straight
+over ICI with per-neighbor semaphores — lets the halo ride the interconnect
+while the compute kernel keeps running (SURVEY.md §5; the same neighbor-
+permute pattern ring collectives use).
+
+``pull_left_halo_pallas`` is a drop-in replacement for
+``halo.pull_left_halo`` inside ``shard_map``: every shard sends its trailing
+``halo`` samples to its RIGHT neighbor (non-circular), so each shard
+receives its LEFT neighbor's tail — the overlap-save halo of streaming
+FIR/discriminator stages.  Shard 0 receives ``left_edge`` (the global
+streaming carry) or zeros.
+
+Falls back to the ppermute implementation when the platform cannot run the
+Mosaic kernel (CPU test meshes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_sdr.parallel import halo as _halo
+
+
+def _halo_kernel(axis_name: str, tail_ref, out_ref, send_sem, recv_sem):
+    """Send my tail to my right neighbor; receive from my left.
+
+    Grid-less single-step kernel run under shard_map.  Edge shards: the
+    rightmost shard sends nothing, shard 0 waits on nothing (its output is
+    overwritten by the caller with ``left_edge``).
+    """
+    my_id = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+
+    # Zero the output first so shard 0 (no left neighbor) is deterministic.
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    copy = pltpu.make_async_remote_copy(
+        src_ref=tail_ref,
+        dst_ref=out_ref,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id=my_id + 1,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+
+    @pl.when(my_id < n - 1)
+    def _():
+        copy.start()
+        copy.wait_send()
+
+    @pl.when(my_id > 0)
+    def _():
+        copy.wait_recv()
+
+
+def _pull_left_halo_remote_dma(x: jax.Array, halo: int, axis_name: str,
+                               interpret=False):
+    tail = x[x.shape[0] - halo:].reshape(1, halo)
+    try:
+        out_shape = jax.ShapeDtypeStruct((1, halo), x.dtype,
+                                         vma=frozenset({axis_name}))
+    except TypeError:  # older JAX without vma tracking
+        out_shape = jax.ShapeDtypeStruct((1, halo), x.dtype)
+    out = pl.pallas_call(
+        partial(_halo_kernel, axis_name),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=13),
+        interpret=interpret,
+    )(tail)
+    return out.reshape(halo)
+
+
+def pull_left_halo_pallas(x: jax.Array, halo: int, axis_name: str,
+                          left_edge: jax.Array | None = None,
+                          force: bool = False) -> jax.Array:
+    """Left-neighbor tail via Pallas remote DMA (ppermute fallback off-TPU).
+
+    Must be called inside ``shard_map`` over ``axis_name``.  Semantics match
+    :func:`tpu_sdr.parallel.halo.pull_left_halo`.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if not force and not on_tpu:
+        return _halo.pull_left_halo(x, halo, axis_name, left_edge)
+    n_shards = lax.axis_size(axis_name)
+    if n_shards == 1:
+        received = jnp.zeros((halo,), x.dtype)
+    else:
+        received = _pull_left_halo_remote_dma(
+            x, halo, axis_name,
+            interpret=False if on_tpu else pltpu.InterpretParams())
+    if left_edge is not None:
+        idx = lax.axis_index(axis_name)
+        received = jnp.where(idx == 0, left_edge, received)
+    return received
