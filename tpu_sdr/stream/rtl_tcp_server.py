@@ -57,6 +57,66 @@ def send_handshake(sock: socket.socket, tuner_type: int, gain_count: int) -> Non
     sock.sendall(b"RTL0" + struct.pack(">II", tuner_type, gain_count))
 
 
+class _BlockQueue:
+    """Bounded fixed-block queue: native C++ ring when built, Python queue
+    otherwise (the reference's sync_channel, rtl_tcp.rs:365)."""
+
+    def __init__(self, block_bytes: int, capacity: int):
+        self._ring = None
+        self._q = None
+        try:
+            import tpu_sdr.native as nat
+
+            if nat.available():
+                self._ring = nat.NativeRing(block_bytes, capacity)
+        except Exception:
+            pass
+        if self._ring is None:
+            self._q = queue.Queue(maxsize=capacity)
+
+    def put(self, data: bytes, timeout: float) -> bool:
+        """False when the queue stayed full for ``timeout`` (backpressure)."""
+        if self._ring is not None:
+            import time as _time
+
+            deadline = timeout
+            while not self._ring.push(data):
+                if deadline <= 0:
+                    return False
+                _time.sleep(0.005)
+                deadline -= 0.005
+            return True
+        try:
+            self._q.put(data, timeout=timeout)
+            return True
+        except queue.Full:
+            return False
+
+    def get(self, timeout: float):
+        """Block bytes, None at end-of-stream, or raise TimeoutError."""
+        if self._ring is not None:
+            blk = self._ring.pop(timeout_ms=int(timeout * 1000))
+            return None if blk is None else blk.tobytes()
+        try:
+            data = self._q.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError
+        return data
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self._ring.set_eof()
+        else:
+            try:
+                self._q.put_nowait(None)
+            except queue.Full:
+                pass
+
+    def destroy(self) -> None:
+        if self._ring is not None:
+            self._ring.close()
+
+
 class RtlTcpServer:
     """One-client-at-a-time I/Q server (ref run/serve_client,
     rtl_tcp.rs:74-502)."""
@@ -112,7 +172,7 @@ class RtlTcpServer:
             stream.close()
             return f"Failed to send handshake: {e}"
 
-        data_q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=self.queue_limit)
+        data_q = _BlockQueue(DEFAULT_BUF_LENGTH, self.queue_limit)
         manual_mode = self.default_gain is not None
         last_gain = self.default_gain if self.default_gain is not None else (
             gains[0] if gains else 0
@@ -137,22 +197,23 @@ class RtlTcpServer:
             except Exception as e:
                 errors.append(f"Read error: {e}")
                 break
-            if not data:
-                errors.append("Device returned zero bytes")
+            if len(data) < DEFAULT_BUF_LENGTH:
+                errors.append(f"Short read ({len(data)}), samples lost")
                 break
-            try:
-                data_q.put(data, timeout=1.0)
-            except queue.Full:
-                # Bounded-queue backpressure: the reference's sync_channel
-                # blocks; a persistent stall means the client is dead.
-                if connection_stop.is_set():
+            # Bounded-queue backpressure: the reference's sync_channel
+            # blocks; a persistent stall means the client is dead.
+            queued = False
+            while not queued:
+                queued = data_q.put(data, timeout=1.0)
+                if not queued and (connection_stop.is_set()
+                                   or self.shutdown.is_set()):
                     break
+            if not queued:
+                break
         connection_stop.set()
-        try:
-            data_q.put_nowait(None)
-        except queue.Full:
-            pass
+        data_q.close()
         sender.join(timeout=2.0)
+        data_q.destroy()
         try:
             stream.shutdown(socket.SHUT_RDWR)
         except OSError:
@@ -166,7 +227,7 @@ class RtlTcpServer:
         while not (stop.is_set() or self.shutdown.is_set()):
             try:
                 buf = data_q.get(timeout=0.2)
-            except queue.Empty:
+            except TimeoutError:
                 continue
             if buf is None:
                 break
