@@ -80,3 +80,30 @@ def test_view_u8_as_i16_is_little_endian():
     v0, v1 = int(d16[0, 0, 0]), int(d16[0, 0, 1])
     assert (v0 & 0xFF) == 1 and ((v0 >> 8) & 0xFF) == 2  # I0, Q0
     assert (v1 & 0xFF) == 3 and ((v1 >> 8) & 0xFF) == 4  # I1, Q1
+
+
+def test_fused_batch_matches_per_station(capture):
+    """The batched grid must produce exactly the per-station results, with
+    per-station streaming state evolving independently."""
+    rng = np.random.default_rng(11)
+    other = rng.integers(0, 256, size=len(capture), dtype=np.uint8)
+    bufs = np.stack([capture, other])
+
+    batch = pallas_fm.PallasWbfmBatchStreamer(2, interpret=True)
+    got = batch.demodulate(bufs)
+
+    for b, buf in enumerate(bufs):
+        single = pallas_fm.PallasWbfmStreamer(interpret=True)
+        exp = single.demodulate(buf)
+        np.testing.assert_allclose(got[b], exp, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_batch_streaming_state(capture):
+    bufs = np.stack([capture, capture[::-1].copy()])
+    one = pallas_fm.PallasWbfmBatchStreamer(2, interpret=True)
+    full = one.demodulate(bufs)
+    two = pallas_fm.PallasWbfmBatchStreamer(2, interpret=True)
+    split = np.concatenate(
+        [two.demodulate(bufs[:, :CHUNK]), two.demodulate(bufs[:, CHUNK:])],
+        axis=1)
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)

@@ -143,28 +143,32 @@ def unpack_state(s: jax.Array, rot_phase, resamp_state, spec: PallasWbfmSpec):
 def _kernel(spec: PallasWbfmSpec, atan_mode: str,
             phase_ref, data_ref, w_hi_ref, w_lo_ref, state_in_ref,
             z_ref, state_out_ref, carry):
+    """Grid (stations, chunks): chunks iterate innermost (sequentially on
+    TPU), so the VMEM carry streams within a station and re-seeds from
+    ``state_in`` when a new station's chunk 0 arrives."""
     d = spec.decim
     L = spec.num_taps
     Lm1 = L - 1
     rows = spec.rows              # 85
     width = spec.row_width        # 768
-    i = pl.program_id(0)
-    n_prog = pl.num_programs(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    n_prog = pl.num_programs(1)
 
     @pl.when(i == 0)
     def _():
-        carry[:] = state_in_ref[:]
+        carry[:] = state_in_ref[0]
 
     # ---- u8 unpack: one int16 = one complex sample (I low byte, Q high
     # byte, little-endian), so no lane interleaving is needed; x255 scale ----
-    v = data_ref[0].astype(jnp.int32)  # (rows, width)
+    v = data_ref[0, 0].astype(jnp.int32)  # (rows, width)
     re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
     im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
 
     # ---- fs/4 rotation: multiply sample k by j**(k+phase); width % 4 == 0
     # so the pattern depends only on the column ----
     kmod = (jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
-            + phase_ref[0]) % 4
+            + phase_ref[b]) % 4
     rre = jnp.where(kmod == 0, re,
                     jnp.where(kmod == 1, -im, jnp.where(kmod == 2, -re, im)))
     rim = jnp.where(kmod == 0, im,
@@ -217,7 +221,7 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str,
         ang = F.fast_atan2_f32(c_im, c_re)
     else:
         ang = _atan2_poly(c_im, c_re)
-    z_ref[:] = (ang * jnp.float32(1.0 / np.pi)).reshape(1, rows, 128)
+    z_ref[:] = (ang * jnp.float32(1.0 / np.pi)).reshape(1, 1, rows, 128)
 
     # ---- update carries (2-D vector stores; Mosaic rejects scalar stores
     # to VMEM) ----
@@ -228,7 +232,7 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str,
 
     @pl.when(i == n_prog - 1)
     def _():
-        state_out_ref[:] = carry[:]
+        state_out_ref[0] = carry[:]
 
 
 def default_spec(config=None) -> PallasWbfmSpec:
@@ -274,39 +278,39 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _front_pallas(data_i16, phase, state, w_hi, w_lo, spec, atan_mode,
+def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
                   interpret):
-    """The Pallas front-end: (nchunks, rows, width) int16 -> discriminator
-    output z (nchunks, rows, 128) + new carry."""
+    """The Pallas front-end: (stations, nchunks, rows, width) int16 ->
+    discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
-    nchunks = data_i16.shape[0]
+    stations, nchunks = data_i16.shape[0], data_i16.shape[1]
     return pl.pallas_call(
         partial(_kernel, spec, atan_mode),
-        grid=(nchunks,),
+        grid=(stations, nchunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # phase
-            pl.BlockSpec((1, rows, width), lambda i: (i, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-station phases
+            pl.BlockSpec((1, 1, rows, width), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_hi.shape[0], 128), lambda i: (0, 0),
+            pl.BlockSpec((w_hi.shape[0], 128), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_lo.shape[0], 128), lambda i: (0, 0),
+            pl.BlockSpec((w_lo.shape[0], 128), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((STATE_ROWS, 128), lambda i: (0, 0),
+            pl.BlockSpec((1, STATE_ROWS, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, rows, 128), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((STATE_ROWS, 128), lambda i: (0, 0),
+            pl.BlockSpec((1, STATE_ROWS, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nchunks, rows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((STATE_ROWS, 128), jnp.float32),
+            jax.ShapeDtypeStruct((stations, nchunks, rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((stations, STATE_ROWS, 128), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((STATE_ROWS, 128), jnp.float32)],
         interpret=interpret,
-    )(phase, data_i16, w_hi, w_lo, state)
+    )(phase, data_i16, w_hi, w_lo, states)
 
 
 @partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret"))
@@ -315,20 +319,50 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                      spec: PallasWbfmSpec, atan_mode: str = "exact",
                      interpret: bool = False):
-    """Fused kernel + XLA resampler over a whole block.
+    """Fused kernel + XLA resampler over a whole block (one station).
 
     ``data_i16``: (nchunks, rows, width) int16 view of the u8 I/Q block
     (see :func:`view_u8_as_i16`).  ``phase``: (1,) int32 fs/4 rotator phase
-    of the first sample.  ``state``: (3, 128) f32 kernel carry
+    of the first sample.  ``state``: (4, 128) f32 kernel carry
     (:func:`pack_state`); ``resamp_hist``: (T-1,) f32 resampler history.
     Returns (audio (nchunks*128*up,), new_state, new_resamp_hist).
     """
-    z, new_state = _front_pallas(
-        data_i16, phase, state, w_hi, w_lo, spec, atan_mode, interpret)
+    z, new_states = _front_pallas(
+        data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
+        interpret)
     audio, rs = F.aligned_resample(
         z.reshape(-1), v, spec.up, spec.down,
         F.AlignedResampleState(resamp_hist))
-    return audio, new_state, rs.hist
+    return audio, new_states[0], rs.hist
+
+
+@partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret"))
+def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
+                           states: jax.Array, resamp_hists: jax.Array,
+                           w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
+                           spec: PallasWbfmSpec, atan_mode: str = "exact",
+                           interpret: bool = False):
+    """Multi-station fused chain: one kernel launch demodulates every
+    station (grid = stations x chunks — the in-chip DP axis of
+    wbfm_batched, BASELINE.json config #2).
+
+    ``data_i16``: (stations, nchunks, rows, width) int16; ``phases``:
+    (stations,) int32; ``states``: (stations, 4, 128); ``resamp_hists``:
+    (stations, T-1).  Returns (audio (stations, nchunks*128*up), new_states,
+    new_resamp_hists).
+    """
+    z, new_states = _front_pallas(
+        data_i16, phases, states, w_hi, w_lo, spec, atan_mode, interpret)
+    stations = data_i16.shape[0]
+
+    def resample_one(zb, hist):
+        audio, rs = F.aligned_resample(
+            zb.reshape(-1), v, spec.up, spec.down,
+            F.AlignedResampleState(hist))
+        return audio, rs.hist
+
+    audio, hists = jax.vmap(resample_one)(z, resamp_hists)
+    return audio.reshape(stations, -1), new_states, hists
 
 
 def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
@@ -342,6 +376,14 @@ def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
     assert buf.size % spec.chunk_bytes == 0, (
         f"block of {buf.size} bytes not a multiple of chunk {spec.chunk_bytes}")
     return buf.view("<i2").reshape(-1, spec.rows, spec.row_width)
+
+
+def view_u8_as_i16_batch(bufs: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
+    """(stations, bytes) u8 -> (stations, nchunks, rows, width) int16."""
+    bufs = np.ascontiguousarray(bufs, dtype=np.uint8)
+    assert bufs.shape[1] % spec.chunk_bytes == 0
+    return bufs.view("<i2").reshape(
+        bufs.shape[0], -1, spec.rows, spec.row_width)
 
 
 class PallasWbfmStreamer:
@@ -375,4 +417,41 @@ class PallasWbfmStreamer:
             self.resamp_hist, self.w_hi, self.w_lo, self.v, self.spec,
             atan_mode=self.atan_mode, interpret=self.interpret)
         self.phase = (self.phase + usable // 2) % 4
+        return np.asarray(audio)
+
+
+class PallasWbfmBatchStreamer:
+    """Host wrapper mirroring ``wbfm_batched.WbfmBatchStreamer`` over the
+    fused kernel: one launch demodulates the whole station batch."""
+
+    def __init__(self, stations: int, config=None, atan_mode: str = "exact",
+                 interpret: bool | None = None):
+        from tpu_sdr.models import wbfm as M
+
+        self.config = config or M.WbfmConfig(filter_mode="fir")
+        self.spec = default_spec(self.config)
+        self.w_hi, self.w_lo, self.v = make_kernel_params(self.config)
+        self.atan_mode = atan_mode
+        self.interpret = _interpret_default() if interpret is None else interpret
+        self.stations = stations
+        self.states = jnp.zeros((stations, STATE_ROWS, 128), jnp.float32
+                                ).at[:, 2, 127].set(1.0)
+        self.resamp_hists = jnp.zeros(
+            (stations, self.spec.taps_per_phase - 1), jnp.float32)
+        self.phases = np.zeros(stations, dtype=np.int32)
+        self._pending = np.zeros((stations, 0), dtype=np.uint8)
+
+    def demodulate(self, bufs: np.ndarray) -> np.ndarray:
+        data = np.concatenate(
+            [self._pending, np.asarray(bufs, dtype=np.uint8)], axis=1)
+        usable = data.shape[1] - (data.shape[1] % self.spec.chunk_bytes)
+        self._pending = data[:, usable:]
+        if usable == 0:
+            return np.zeros((self.stations, 0), dtype=np.float32)
+        d16 = view_u8_as_i16_batch(data[:, :usable], self.spec)
+        audio, self.states, self.resamp_hists = demodulate_fused_batch(
+            jnp.asarray(d16), jnp.asarray(self.phases), self.states,
+            self.resamp_hists, self.w_hi, self.w_lo, self.v, self.spec,
+            atan_mode=self.atan_mode, interpret=self.interpret)
+        self.phases = (self.phases + usable // 2) % 4
         return np.asarray(audio)
