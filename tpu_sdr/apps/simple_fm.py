@@ -12,6 +12,7 @@ Modes (--mode):
   exact   bit-exact integer chain (the conformance path)
   boxcar  float reference-parity chain (fast, >=60 dB vs exact)
   fir     FIR quality chain (best audio)
+  pallas  fused Pallas TPU kernel chain (fastest; interpreted off-TPU)
 """
 
 from __future__ import annotations
@@ -41,8 +42,15 @@ def make_demodulator(mode: str):
     if mode == "exact":
         streamer = wbfm_exact.WbfmExactStreamer()
         return streamer.demodulate, "exact integer chain"
-    filter_mode = "boxcar" if mode == "boxcar" else "fir"
-    streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=filter_mode))
+    if mode == "pallas":
+        from tpu_sdr.ops.pallas_fm import PallasWbfmStreamer
+
+        streamer = PallasWbfmStreamer()  # interpret auto off-TPU
+        desc = "fused Pallas chain"
+    else:
+        filter_mode = "boxcar" if mode == "boxcar" else "fir"
+        streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=filter_mode))
+        desc = f"float chain ({filter_mode})"
 
     from tpu_sdr.native import f32_to_s16
 
@@ -51,7 +59,7 @@ def make_demodulator(mode: str):
         # (native clamp/convert when the C++ runtime is built)
         return f32_to_s16(streamer.demodulate(buf))
 
-    return demod, f"float chain ({filter_mode})"
+    return demod, desc
 
 
 def output(buf: np.ndarray) -> None:
@@ -115,7 +123,8 @@ def main(argv=None) -> int:
     p.add_argument("--freq", type=int, default=FREQUENCY)
     p.add_argument("--file", help="read raw u8 I/Q from file instead of a device")
     p.add_argument("--device", type=int, default=0)
-    p.add_argument("--mode", choices=["exact", "boxcar", "fir"], default="fir")
+    p.add_argument("--mode", choices=["exact", "boxcar", "fir", "pallas"],
+                   default="fir")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
     args = p.parse_args(argv)
