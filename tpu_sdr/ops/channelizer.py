@@ -130,6 +130,7 @@ def pfb_analyze(re: jax.Array, im: jax.Array, h_poly: jax.Array, state: PfbState
         lhs, W, window_strides=(1,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # TPU default is bf16 passes
     )[0]  # (2K, m)
     hist_re = frames_re[frames_re.shape[0] - (rows - 1):]
     hist_im = frames_im[frames_im.shape[0] - (rows - 1):]

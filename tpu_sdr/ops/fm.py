@@ -105,6 +105,7 @@ def fir_decimate(
     y = lax.conv_general_dilated(
         x, w, window_strides=(decim,), padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=lax.Precision.HIGHEST,  # TPU default is bf16 passes
     )
     out_re = y[0, 0]
     out_im = y[1, 0]
@@ -202,9 +203,12 @@ def banded_decim_apply(xext: jax.Array, W: jax.Array, decim: int, m: int,
             + jax.lax.dot_general(fe, W_lo, dn, preferred_element_type=jnp.float32)
         )
     else:
+        # HIGHEST: TPU's default matmul precision is bf16 passes, which
+        # would silently cap the "f32" quality path near 53 dB
         y = jax.lax.dot_general(
             frames.reshape(B * nchunks, row_len), W, dn,
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
     return y.reshape(B, nchunks * chunk_out)[:, :m]
 
@@ -312,6 +316,7 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
     y = jax.lax.dot_general(
         frames, V, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,  # tiny matmul; true f32 audio
     )  # (R, up)
     new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
     return y.reshape(R * up), new_state
