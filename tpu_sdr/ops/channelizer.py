@@ -105,7 +105,8 @@ def pfb_conv_weights(h_poly: np.ndarray) -> np.ndarray:
     return W
 
 
-def pfb_analyze(re: jax.Array, im: jax.Array, h_poly: jax.Array, state: PfbState):
+def pfb_analyze(re: jax.Array, im: jax.Array, h_poly: jax.Array, state: PfbState,
+                W: jax.Array | None = None):
     """Channelize one block: input length must be a multiple of K.
 
     Returns ``(Y_re, Y_im, new_state)`` with Y of shape (m, K): frame m,
@@ -121,7 +122,8 @@ def pfb_analyze(re: jax.Array, im: jax.Array, h_poly: jax.Array, state: PfbState
     assert n % K == 0, f"block of {n} not divisible by K={K}"
     m = n // K
 
-    W = jnp.asarray(pfb_conv_weights(np.asarray(h_poly)))  # trace-time const
+    if W is None:  # trace-time constant; pass W explicitly under jit
+        W = jnp.asarray(pfb_conv_weights(np.asarray(h_poly)))
 
     frames_re = jnp.concatenate([state.hist_re, re.reshape(m, K)], axis=0)
     frames_im = jnp.concatenate([state.hist_im, im.reshape(m, K)], axis=0)

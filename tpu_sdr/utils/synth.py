@@ -120,3 +120,40 @@ def align_and_snr(reference: np.ndarray, test: np.ndarray, max_lag: int = 256,
         if s > best[0]:
             best = (s, lag)
     return best
+
+
+def synth_multistation_u8(
+    num_samples: int,
+    capture_rate: float,
+    station_freqs: list[float],
+    audio_freqs: list[float],
+    deviation: float = 75_000.0,
+    amplitude: float | None = None,
+    seed: int = 0,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Wideband capture containing several WBFM stations at once.
+
+    Station ``s`` is FM-modulated by a ``audio_freqs[s]`` tone and shifted
+    to ``station_freqs[s]`` Hz relative to the capture center.  Returns
+    ``(iq_u8 of length 2*num_samples, per-station modulating audio)`` —
+    the input for the PFB-channelized multi-station receive path
+    (BASELINE.json config #3; the reference can only tune one station per
+    process).
+    """
+    assert len(station_freqs) == len(audio_freqs)
+    n_st = len(station_freqs)
+    if amplitude is None:
+        amplitude = 0.85 / n_st
+    t = np.arange(num_samples) / capture_rate
+    sig = np.zeros(num_samples, dtype=np.complex128)
+    audios = []
+    for f_c, f_a in zip(station_freqs, audio_freqs):
+        audio = np.sin(2 * np.pi * f_a * t)
+        audios.append(audio)
+        phase = 2 * np.pi * deviation * np.cumsum(audio) / capture_rate
+        sig += amplitude * np.exp(1j * (phase + 2 * np.pi * f_c * t))
+    iq = np.empty(2 * num_samples, dtype=np.float64)
+    iq[0::2] = sig.real
+    iq[1::2] = sig.imag
+    u8 = np.clip(np.round(iq * 127.0 + 127.5), 0, 255).astype(np.uint8)
+    return u8, audios
