@@ -6,12 +6,14 @@ candidate implementations and reports the fastest:
 * ``pallas``     — fused Pallas kernel front-end (VMEM-resident chain,
                    split-bf16 MXU decimator) + XLA resampler,
 * ``xla_bf16``   — XLA chain with the split-precision bf16 decimator,
-* ``xla_f32``    — XLA chain, all-f32 matmuls.
+* ``xla_f32``    — XLA chain, true-f32 (Precision.HIGHEST) matmuls.
 
-Carry state threads between blocks exactly as production streaming does,
-with a device sync per block (honest steady-state).  Each candidate is
-timed in several short rounds and scored by its best round, which rejects
-transient slowdowns of the shared TPU tunnel.
+Timing methodology: the carry state threads through every iteration (a
+real data dependency, exactly like production streaming), the final state
+is read back to the host (forcing the whole dependent chain — on tunneled
+TPU backends ``block_until_ready`` can return before execution finishes),
+and two run lengths are differenced to cancel the fixed dispatch+readback
+latency.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} against
 the 500 Msamples/s/chip target (BASELINE.md — the reference publishes no
@@ -27,42 +29,36 @@ import numpy as np
 
 TARGET_MSPS = 500.0
 N_COMPLEX = 6 * 85 * 24576  # ~12.5M complex samples (~25 MB u8) per block
-ROUNDS = 3
-ITERS = 5
+N_SHORT, N_LONG = 5, 25
 
 
-def _time_rounds(step, sync) -> float:
-    """Best-round average seconds per call."""
+def _diff_time(run) -> float:
+    """Seconds per iteration, fixed latency cancelled, best of 2 rounds."""
+    run(2)  # warm (compile already done by caller)
     best = float("inf")
-    for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = step()
-        sync(out)
-        dt = (time.perf_counter() - t0) / ITERS
-        best = min(best, dt)
-    return best
+    for _ in range(2):
+        t_short = run(N_SHORT)
+        t_long = run(N_LONG)
+        best = min(best, (t_long - t_short) / (N_LONG - N_SHORT))
+    return max(best, 1e-9)
 
 
 def bench_xla(buf, precision: str):
-    import jax
-
     from tpu_sdr.models import wbfm
 
     config = wbfm.WbfmConfig(filter_mode="fir", mxu_precision=precision)
     params = wbfm.make_params(config)
-    state = wbfm.init_state(config)
+    state0 = wbfm.init_state(config)
 
-    holder = {"state": state}
+    def run(n: int) -> float:
+        s = state0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _a, _c, s = wbfm.demodulate_block(buf, s, params, config)
+        np.asarray(s.quad.pre_re)  # host readback = true sync
+        return time.perf_counter() - t0
 
-    def step():
-        audio, count, holder["state"] = wbfm.demodulate_block(
-            buf, holder["state"], params, config)
-        return audio
-
-    audio = step()
-    jax.block_until_ready(audio)  # compile
-    return _time_rounds(step, jax.block_until_ready)
+    return _diff_time(run)
 
 
 def bench_pallas(host_block):
@@ -77,20 +73,20 @@ def bench_pallas(host_block):
     d16 = jax.device_put(pallas_fm.view_u8_as_i16(host_block, spec))
     w_hi, w_lo, v = pallas_fm.make_kernel_params()
     phase = jnp.asarray([0], jnp.int32)
-    holder = {
-        "state": jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
-                           ).at[2, 127].set(1.0),
-        "rh": jnp.zeros(spec.taps_per_phase - 1, jnp.float32),
-    }
+    state0 = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                       ).at[2, 127].set(1.0)
+    rh0 = jnp.zeros(spec.taps_per_phase - 1, jnp.float32)
 
-    def step():
-        audio, holder["state"], holder["rh"] = pallas_fm.demodulate_fused(
-            d16, phase, holder["state"], holder["rh"], w_hi, w_lo, v, spec)
-        return audio
+    def run(n: int) -> float:
+        s, r = state0, rh0
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _a, s, r = pallas_fm.demodulate_fused(
+                d16, phase, s, r, w_hi, w_lo, v, spec)
+        np.asarray(s[0, 0])
+        return time.perf_counter() - t0
 
-    audio = step()
-    jax.block_until_ready(audio)
-    return _time_rounds(step, jax.block_until_ready)
+    return _diff_time(run)
 
 
 def main() -> None:
