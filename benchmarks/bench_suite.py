@@ -20,16 +20,29 @@ import time
 import numpy as np
 
 
-def _run(fn, *args, iters=10):
+def _run(fn, *args, iters=20):
+    """Latency-cancelled seconds/call: one-element host readback forces
+    execution (block_until_ready can be a no-op on tunneled backends);
+    differencing two run lengths cancels the fixed readback latency."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    def readback(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        readback(out)
+        return time.perf_counter() - t0
+
+    readback(fn(*args))  # compile
+    short = max(2, iters // 4)
+    t_short = run(short)
+    t_long = run(iters)
+    return max((t_long - t_short) / (iters - short), 1e-9)
 
 
 def report(metric, value, unit, baseline=None):
@@ -136,8 +149,68 @@ def bench_ingest():
     report("rtl_tcp_ingest", msps, "complex Msamples/s sustained", 2.4)
 
 
+def bench_pallas_fused():
+    import jax
+    import jax.numpy as jnp
+    from tpu_sdr.ops import pallas_fm
+
+    if jax.default_backend() != "tpu":
+        return
+    spec = pallas_fm.default_spec()
+    n_bytes = 192 * spec.chunk_bytes
+    buf = np.random.default_rng(0).integers(0, 256, n_bytes, dtype=np.uint8)
+    d16 = jax.device_put(pallas_fm.view_u8_as_i16(buf, spec))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    phase = jnp.asarray([0], jnp.int32)
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(spec.taps_per_phase - 1, jnp.float32)
+
+    dt = _run(lambda: pallas_fm.demodulate_fused(
+        d16, phase, state, rh, w_hi, w_lo, v, spec))
+    report("wbfm_pallas_fused", n_bytes / 2 / dt / 1e6,
+           "complex Msamples/s/chip", 500.0)
+
+    stations = 8
+    db = jax.device_put(pallas_fm.view_u8_as_i16_batch(
+        np.tile(buf[: n_bytes // 8], (stations, 1)), spec))
+    phases = jnp.zeros(stations, jnp.int32)
+    states = jnp.zeros((stations, pallas_fm.STATE_ROWS, 128), jnp.float32
+                       ).at[:, 2, 127].set(1.0)
+    rhs = jnp.zeros((stations, spec.taps_per_phase - 1), jnp.float32)
+    dt = _run(lambda: pallas_fm.demodulate_fused_batch(
+        db, phases, states, rhs, w_hi, w_lo, v, spec))
+    report("wbfm_pallas_batched_8st", stations * (n_bytes // 8) / 2 / dt / 1e6,
+           "complex Msamples/s/chip (aggregate)", 500.0)
+
+
+def bench_pallas_channelizer():
+    import jax
+    import jax.numpy as jnp
+    from tpu_sdr.ops import pallas_channelizer as pc
+
+    if jax.default_backend() != "tpu":
+        return
+    K, T, C = 64, 8, 512
+    spec = pc.default_spec(K, T, C)
+    from tpu_sdr.ops import channelizer as chan
+
+    h_poly = chan.design_pfb(K, T)
+    m2_hi, m2_lo = pc.make_packed_matrices(h_poly)
+    nch = 64
+    buf = np.random.default_rng(1).integers(
+        0, 256, nch * spec.chunk_bytes, dtype=np.uint8)
+    d16 = jax.device_put(pc.view_u8_as_i16(buf, spec))
+    state = jnp.zeros((2 * (spec.branch_rows - 1), K), jnp.float32)
+    dt = _run(lambda: pc.channelize_fused(d16, state, m2_hi, m2_lo, spec))
+    report("pfb_pallas_fused_64ch", buf.size / 2 / dt / 1e6,
+           "complex Msamples/s/chip")
+
+
 if __name__ == "__main__":
     bench_single_chain()
     bench_batched()
     bench_channelizer()
+    bench_pallas_fused()
+    bench_pallas_channelizer()
     bench_ingest()

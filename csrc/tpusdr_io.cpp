@@ -20,6 +20,7 @@
 #include <mutex>
 #include <thread>
 
+#include <poll.h>
 #include <unistd.h>
 
 namespace {
@@ -69,6 +70,15 @@ void pump_main(Pump* p) {
                 goto done;  // EOF / unseekable: end of stream
             } else {
                 if (errno == EINTR) continue;
+                if (errno == EAGAIN || errno == EWOULDBLOCK) {
+                    // Non-blocking fd (e.g. a Python socket with a timeout
+                    // set): wait for readability instead of treating the
+                    // stall as end-of-stream.
+                    struct pollfd pfd{p->fd, POLLIN, 0};
+                    ::poll(&pfd, 1, 100);
+                    if (p->stop.load(std::memory_order_relaxed)) goto done;
+                    continue;
+                }
                 goto done;
             }
             if (p->stop.load(std::memory_order_relaxed)) goto done;

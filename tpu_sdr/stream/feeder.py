@@ -103,6 +103,9 @@ class RtlTcpClientSource(BlockSource):
         if magic is None or magic[:4] != b"RTL0":
             raise ConnectionError("Not an rtl_tcp server (bad handshake)")
         self.tuner_type, self.gain_count = struct.unpack(">II", magic[4:12])
+        # Back to a blocking fd once connected: a Python socket timeout sets
+        # O_NONBLOCK, which would starve fd-level readers (the native pump).
+        self.sock.settimeout(None)
 
     def command(self, cmd: int, param: int) -> None:
         self.sock.sendall(struct.pack(">BI", cmd, param & 0xFFFFFFFF))
