@@ -162,3 +162,24 @@ def test_parse_tcp_commands_matches_python():
                  0x07])                           # trailing partial -> ignored
     cmds = parse_tcp_commands(buf)
     assert cmds == [(0x01, 100_000_000), (0x04, 300)]
+
+
+def test_pump_tolerates_nonblocking_fd():
+    """Python socket timeouts set O_NONBLOCK; the pump must poll, not EOF."""
+    import socket
+
+    a, b = socket.socketpair()
+    a.settimeout(2.0)  # makes fd non-blocking
+    ring = NativeRing(block_bytes=64, capacity=4)
+    pump = NativePump(ring, a.fileno(), loop_file=False)
+    time_payload = bytes(range(64))
+    import time as _t
+
+    _t.sleep(0.15)  # pump hits EAGAIN repeatedly before data arrives
+    b.sendall(time_payload)
+    blk = ring.pop(timeout_ms=5000)
+    assert bytes(blk) == time_payload
+    pump.stop()
+    a.close()
+    b.close()
+    ring.close()

@@ -107,3 +107,33 @@ def test_fused_batch_streaming_state(capture):
         [two.demodulate(bufs[:, :CHUNK]), two.demodulate(bufs[:, CHUNK:])],
         axis=1)
     np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)
+
+
+def test_state_handoff_xla_to_pallas(capture):
+    """pack_state: an XLA streamer's mid-stream carries seed the fused
+    kernel so a receiver can switch implementations without a glitch."""
+    import jax.numpy as jnp
+
+    config = wbfm.WbfmConfig(filter_mode="fir", mxu_precision="f32")
+    xla = wbfm.WbfmStreamer(config)
+    first = xla.demodulate(capture[:CHUNK])
+
+    # hand off to the fused kernel
+    ps = pallas_fm.PallasWbfmStreamer(interpret=True)
+    ps.state = pallas_fm.pack_state(xla.state, ps.spec)
+    ps.resamp_hist = xla.state.resamp.hist
+    ps.phase = int(xla.state.rot.phase)
+    second = ps.demodulate(capture[CHUNK:])
+
+    ref = wbfm.WbfmStreamer(config)
+    expected = np.concatenate(
+        [ref.demodulate(capture[:CHUNK]), ref.demodulate(capture[CHUNK:])])
+    got = np.concatenate([first, second])
+    snr = _snr_db(expected, got)
+    assert snr >= 80.0, f"handoff continuity: {snr:.1f} dB"
+
+    # and back: unpack_state returns a usable WbfmState
+    st = pallas_fm.unpack_state(
+        ps.state, jnp.int32(ps.phase),
+        xla.state.resamp._replace(hist=ps.resamp_hist), ps.spec)
+    assert st.fir.hist_re.shape == xla.state.fir.hist_re.shape
