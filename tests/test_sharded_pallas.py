@@ -1,0 +1,51 @@
+"""Pallas-front-end sharded WBFM vs the serial fused chain, on the 8-device
+virtual CPU mesh.  The sharded output (assembled across time shards) must
+match the serial PallasWbfmStreamer bit-for-bit up to f32 association —
+boundary errors from bad halo seeding are silent SNR killers (SURVEY.md
+'hard parts'), so equality is checked tightly."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.models import wbfm
+from tpu_sdr.ops import pallas_fm
+from tpu_sdr.parallel import mesh as mesh_mod
+from tpu_sdr.parallel.wbfm_sharded_pallas import (
+    make_sharded_wbfm_pallas,
+    sharded_wbfm_pallas_apply,
+)
+from tpu_sdr.utils import synth
+
+SPEC = pallas_fm.default_spec()
+CHUNK_C = SPEC.chunk_complex  # 65280 complex per kernel chunk
+
+
+def _serial_reference(blocks):
+    out = []
+    for b in blocks:
+        s = pallas_fm.PallasWbfmStreamer(interpret=True)
+        out.append(s.demodulate(b))
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 4), (2, 2)])
+def test_sharded_pallas_matches_serial(dp, sp):
+    stations = 2 * dp
+    n_complex = sp * CHUNK_C  # one kernel chunk per time shard
+    rng = np.random.default_rng(9)
+    base, _ = synth.synth_wbfm_u8(n_complex, capture_rate=1_020_000)
+    blocks = np.stack([
+        np.asarray(base, np.uint8) if s == 0 else
+        rng.integers(0, 256, 2 * n_complex, dtype=np.uint8)
+        for s in range(stations)
+    ])
+
+    mesh = mesh_mod.make_mesh(dp=dp, sp=sp)
+    chain = make_sharded_wbfm_pallas(mesh, wbfm.WbfmConfig(filter_mode="fir"),
+                                     interpret=True)
+    audio, counts = sharded_wbfm_pallas_apply(chain, blocks)
+    got = chain.assemble(audio, counts)
+
+    exp = _serial_reference(blocks)
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)

@@ -74,12 +74,6 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
     params = make_params(config)
     decim = config.decim
     num_taps = config.decim * config.fir_taps_per_phase
-    sp = mesh.shape["sp"]
-
-    fast, slow = config.rate_out, config.rate_resample
-    up, down = config.resample_up, config.resample_down
-    h_poly = params.resamp_poly
-    T = h_poly.shape[1]
 
     def shard_fn(blocks_loc):
         """Per-shard compute. blocks_loc: u8 (stations_loc, bytes_loc)."""
@@ -128,66 +122,7 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
             ang = jnp.arctan2(c_im, c_re)
         demod = ang * jnp.float32(1 / np.pi)
 
-        # --- audio resampler with global-phase closed forms ---------------
-        shard = lax.axis_index("sp")
-        start = shard * n_out  # global index of our first demod sample
-
-        aligned = n_out % down == 0  # static; both modes share (up, down)
-        if aligned:
-            # Frame-matmul path (MXU): every shard starts on a frame
-            # boundary, so the per-shard resample is the serial aligned op
-            # with the left halo as history.
-            if config.filter_mode == "boxcar":
-                V = params.box_V
-                halo = jnp.zeros((st, 0), jnp.float32)
-            else:
-                V = params.resamp_V
-                halo = pull_left_halo(demod.T, T - 1, "sp").T
-            m_frames = n_out // down
-            count = jnp.int32(m_frames * up)
-            audio = jax.vmap(
-                lambda row, h: F.aligned_resample(
-                    row, V, up, down, F.AlignedResampleState(h))[0]
-            )(demod, halo)
-            return audio, count[None]
-
-        if config.filter_mode == "boxcar":
-            halo_len = _cdiv(fast, slow)
-            m_max = (n_out * slow) // fast + 1
-            halo = pull_left_halo(demod.T, halo_len, "sp").T
-            buf = jnp.concatenate([halo, demod], axis=1)
-            cs = jnp.cumsum(buf, axis=1)
-
-            j0 = (start * slow) // fast
-            count = ((start + n_out) * slow) // fast - j0
-            j = j0 + jnp.arange(m_max, dtype=jnp.int32)
-            e = ((j + 1) * fast + slow - 1) // slow - 1  # global emission idx
-            e_prev = (j * fast + slow - 1) // slow - 1
-            le = jnp.clip(e - start + halo_len, 0, buf.shape[1] - 1)
-            lp = jnp.clip(e_prev - start + halo_len, -1, buf.shape[1] - 1)
-            cs_e = cs[:, le]
-            cs_p = jnp.where(lp[None, :] >= 0, cs[:, jnp.maximum(lp, 0)], 0.0)
-            audio = (cs_e - cs_p) / jnp.float32(fast // slow)
-        else:
-            halo_len = T - 1
-            m_max = (n_out * up) // down + 1
-            halo = pull_left_halo(demod.T, halo_len, "sp").T
-            buf = jnp.concatenate([halo, demod], axis=1)
-
-            j0 = _cdiv_traced(start * up, down)
-            count = _cdiv_traced((start + n_out) * up, down) - j0
-            m = j0 + jnp.arange(m_max, dtype=jnp.int32)
-            tt = m * down
-            q = tt // up  # global input index of newest window sample
-            p = tt % up
-            t_idx = jnp.arange(T, dtype=jnp.int32)
-            win = jnp.clip(q[:, None] - t_idx[None, :] - start + halo_len,
-                           0, buf.shape[1] - 1)
-            windows = buf[:, win]  # (st, m_max, T)
-            coeffs = h_poly[p]  # (m_max, T)
-            audio = jnp.einsum("smt,mt->sm", windows, coeffs)
-
-        return audio, count[None].astype(jnp.int32)
+        return resample_shard(demod, config, params, "sp")
 
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
@@ -204,6 +139,82 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
 
 def _cdiv_traced(a, b):
     return (a + b - 1) // b
+
+
+def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
+    """Per-shard audio resampler with global-phase closed forms.
+
+    ``demod``: (stations_loc, n_out) discriminator output for this time
+    shard.  Pulls the left-neighbor halo over ICI and emits
+    ``(audio (stations_loc, m_max), count (1,))`` — emission counts are
+    data-independent functions of the global shard offset, so shapes stay
+    static.  Shared by the XLA and Pallas sharded front-ends.
+    """
+    st, n_out = demod.shape
+    fast, slow = config.rate_out, config.rate_resample
+    up, down = config.resample_up, config.resample_down
+    h_poly = params.resamp_poly
+    T = h_poly.shape[1]
+
+    shard = lax.axis_index(axis_name)
+    start = shard * n_out  # global index of our first demod sample
+
+    aligned = n_out % down == 0  # static; both modes share (up, down)
+    if aligned:
+        # Frame-matmul path (MXU): every shard starts on a frame boundary,
+        # so the per-shard resample is the serial aligned op with the left
+        # halo as history.
+        if config.filter_mode == "boxcar":
+            V = params.box_V
+            halo = jnp.zeros((st, 0), jnp.float32)
+        else:
+            V = params.resamp_V
+            halo = pull_left_halo(demod.T, T - 1, axis_name).T
+        m_frames = n_out // down
+        count = jnp.int32(m_frames * up)
+        audio = jax.vmap(
+            lambda row, h: F.aligned_resample(
+                row, V, up, down, F.AlignedResampleState(h))[0]
+        )(demod, halo)
+        return audio, count[None]
+
+    if config.filter_mode == "boxcar":
+        halo_len = _cdiv(fast, slow)
+        m_max = (n_out * slow) // fast + 1
+        halo = pull_left_halo(demod.T, halo_len, axis_name).T
+        buf = jnp.concatenate([halo, demod], axis=1)
+        cs = jnp.cumsum(buf, axis=1)
+
+        j0 = (start * slow) // fast
+        count = ((start + n_out) * slow) // fast - j0
+        j = j0 + jnp.arange(m_max, dtype=jnp.int32)
+        e = ((j + 1) * fast + slow - 1) // slow - 1  # global emission idx
+        e_prev = (j * fast + slow - 1) // slow - 1
+        le = jnp.clip(e - start + halo_len, 0, buf.shape[1] - 1)
+        lp = jnp.clip(e_prev - start + halo_len, -1, buf.shape[1] - 1)
+        cs_e = cs[:, le]
+        cs_p = jnp.where(lp[None, :] >= 0, cs[:, jnp.maximum(lp, 0)], 0.0)
+        audio = (cs_e - cs_p) / jnp.float32(fast // slow)
+    else:
+        halo_len = T - 1
+        m_max = (n_out * up) // down + 1
+        halo = pull_left_halo(demod.T, halo_len, axis_name).T
+        buf = jnp.concatenate([halo, demod], axis=1)
+
+        j0 = _cdiv_traced(start * up, down)
+        count = _cdiv_traced((start + n_out) * up, down) - j0
+        m = j0 + jnp.arange(m_max, dtype=jnp.int32)
+        tt = m * down
+        q = tt // up  # global input index of newest window sample
+        p = tt % up
+        t_idx = jnp.arange(T, dtype=jnp.int32)
+        win = jnp.clip(q[:, None] - t_idx[None, :] - start + halo_len,
+                       0, buf.shape[1] - 1)
+        windows = buf[:, win]  # (st, m_max, T)
+        coeffs = h_poly[p]  # (m_max, T)
+        audio = jnp.einsum("smt,mt->sm", windows, coeffs)
+
+    return audio, count[None].astype(jnp.int32)
 
 
 def sharded_wbfm_apply(chain: ShardedWbfm, blocks: np.ndarray):

@@ -1,0 +1,134 @@
+"""Multi-chip WBFM with the fused Pallas kernel as the per-shard compute.
+
+Same (dp, sp) topology as ``wbfm_sharded`` — stations over ``dp``, time
+over ``sp`` with overlap-save halos over ICI — but each shard's heavy
+front-end (u8 unpack -> fs/4 rotate -> split-bf16 MXU FIR decimation ->
+discriminator) is the single fused Pallas kernel (ops/pallas_fm) instead of
+the XLA op chain.  The halos become the kernel's *initial carry state*:
+
+* FIR history: each shard decodes+rotates only its own trailing L-1
+  samples (a 128-sample tail, negligible) and ships them right via
+  ``ppermute``; they seed carry rows 0/1.
+* Discriminator previous sample: each shard computes just its own last
+  decimated output with one 72-tap dot on the tail and ships it right;
+  it seeds carry rows 2/3 (lane 127).  The global left edge is (1, 0),
+  matching the serial QuadState init.
+
+The audio resampler reuses ``wbfm_sharded.resample_shard`` (global-phase
+closed forms, left halos over ICI).
+
+Constraints: ``filter_mode='fir'`` geometry only; the per-shard complex
+count must be a multiple of the kernel chunk (spec.chunk_complex = 65280).
+Input is the int16 one-sample-per-element view (``pallas_fm.view_u8_as_i16``
+layout), produced host-side with a zero-copy numpy view.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpu_sdr.models.wbfm import WbfmConfig, make_params
+from tpu_sdr.ops import pallas_fm
+from tpu_sdr.parallel.halo import pull_left_halo
+from tpu_sdr.parallel.wbfm_sharded import ShardedWbfm, resample_shard
+
+_TAIL = 128  # decoded tail samples per shard (>= L-1 + decim + 1)
+
+
+def _decode_rotate_tail(d16_tail: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Last ``_TAIL`` int16 samples -> rotated (re, im) at the kernel's x255
+    integer scale.  The tail starts at local index n_loc - _TAIL, which is
+    0 mod 4 (n_loc and _TAIL are), so the rotation pattern is position%4."""
+    v = d16_tail.astype(jnp.int32)
+    re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+    im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+    k = jnp.arange(_TAIL, dtype=jnp.int32)[None, :] % 4
+    rre = jnp.where(k == 0, re, jnp.where(k == 1, -im, jnp.where(k == 2, -re, im)))
+    rim = jnp.where(k == 0, im, jnp.where(k == 1, re, jnp.where(k == 2, -im, -re)))
+    return rre, rim
+
+
+def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
+                             interpret: bool | None = None) -> ShardedWbfm:
+    """Build the jitted Pallas-front-end sharded chain for ('dp','sp')."""
+    config = config or WbfmConfig(filter_mode="fir")
+    assert config.filter_mode == "fir", "pallas front-end is FIR-mode only"
+    params = make_params(config)
+    spec = pallas_fm.default_spec(config)
+    w_hi, w_lo, _v = pallas_fm.make_kernel_params(config)
+    L = spec.num_taps
+    Lm1 = L - 1
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    taps_rev = jnp.asarray(np.asarray(params.decim_taps)[::-1].copy())
+
+    def shard_fn(d16_loc):
+        """d16_loc: int16 (stations_loc, n_loc) — one complex per element."""
+        st, n_loc = d16_loc.shape
+        assert n_loc % spec.chunk_complex == 0, (
+            f"local shard of {n_loc} complex samples must be a multiple of "
+            f"the kernel chunk ({spec.chunk_complex})")
+
+        # --- halo seeds from each shard's decoded tail --------------------
+        rre_t, rim_t = _decode_rotate_tail(d16_loc[:, n_loc - _TAIL:])
+        fir_re = rre_t[:, _TAIL - Lm1:]              # (st, L-1), x255 scale
+        fir_im = rim_t[:, _TAIL - Lm1:]
+        # my last decimated output: window X[m*d - (L-1) .. m*d] ends at
+        # local index n_loc - decim, i.e. tail slice [-(L+decim-1+1) ...]
+        w0 = _TAIL - spec.decim - Lm1
+        seg_re = rre_t[:, w0:w0 + L]
+        seg_im = rim_t[:, w0:w0 + L]
+        y_last_re = seg_re @ taps_rev / 255.0        # kernel-normalized
+        y_last_im = seg_im @ taps_rev / 255.0
+
+        halo_fir_re = pull_left_halo(fir_re.T, Lm1, "sp").T
+        halo_fir_im = pull_left_halo(fir_im.T, Lm1, "sp").T
+        prev_re = pull_left_halo(y_last_re[None, :], 1, "sp",
+                                 left_edge=jnp.ones((1, st), jnp.float32))[0]
+        prev_im = pull_left_halo(y_last_im[None, :], 1, "sp")[0]
+
+        states = jnp.zeros((st, pallas_fm.STATE_ROWS, 128), jnp.float32)
+        states = states.at[:, 0, :Lm1].set(halo_fir_re)
+        states = states.at[:, 1, :Lm1].set(halo_fir_im)
+        states = states.at[:, 2, 127].set(prev_re)
+        states = states.at[:, 3, 127].set(prev_im)
+
+        # --- fused kernel over the whole local shard -----------------------
+        data = d16_loc.reshape(st, n_loc // spec.chunk_complex, spec.rows,
+                               spec.row_width)
+        phases = jnp.zeros(st, jnp.int32)  # shard lengths are 0 mod 4
+        z, _ = pallas_fm._front_pallas(
+            data, phases, states, w_hi, w_lo, spec, "exact", interpret)
+        demod = z.reshape(st, n_loc // spec.decim)
+
+        return resample_shard(demod, config, params, "sp")
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("dp", "sp"),
+        out_specs=(P("dp", "sp"), P("sp")),
+        check_vma=False,  # the pallas interpret machinery trips the checker
+    )
+    fn = jax.jit(sharded)
+    return ShardedWbfm(
+        mesh=mesh, config=config, fn=fn,
+        in_sharding=NamedSharding(mesh, P("dp", "sp")),
+    )
+
+
+def view_blocks_as_i16(blocks: np.ndarray) -> np.ndarray:
+    """(stations, bytes) u8 -> (stations, n_complex) int16 zero-copy view."""
+    blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+    return blocks.view("<i2")
+
+
+def sharded_wbfm_pallas_apply(chain: ShardedWbfm, blocks: np.ndarray):
+    """Place (stations, bytes) u8 blocks on the mesh and run the chain."""
+    x = jax.device_put(view_blocks_as_i16(blocks), chain.in_sharding)
+    return chain(x)
