@@ -67,7 +67,9 @@ def bench_pallas(host_block):
 
     from tpu_sdr.ops import pallas_fm
 
-    spec = pallas_fm.default_spec()
+    # chunks_per_step=2 sweeps fastest on hardware: M=340 matmul rows and
+    # half the grid steps vs the default geometry
+    spec = pallas_fm.default_spec(chunks_per_step=2)
     if host_block.size % spec.chunk_bytes:
         return None
     d16 = jax.device_put(pallas_fm.view_u8_as_i16(host_block, spec))

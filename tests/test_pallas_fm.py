@@ -137,3 +137,15 @@ def test_state_handoff_xla_to_pallas(capture):
         ps.state, jnp.int32(ps.phase),
         xla.state.resamp._replace(hist=ps.resamp_hist), ps.spec)
     assert st.fir.hist_re.shape == xla.state.fir.hist_re.shape
+
+
+def test_chunks_per_step_geometry_matches(capture):
+    """Folding chunks into one grid step (bigger matmul M) must not change
+    results."""
+    one = pallas_fm.PallasWbfmStreamer(interpret=True)
+    a = one.demodulate(capture)
+    spec2 = pallas_fm.default_spec(chunks_per_step=2)
+    two = pallas_fm.PallasWbfmStreamer(interpret=True)
+    two.spec = spec2
+    b = two.demodulate(capture)
+    np.testing.assert_allclose(b, a[:len(b)], rtol=1e-5, atol=1e-6)

@@ -46,10 +46,13 @@ class PallasWbfmSpec(NamedTuple):
     up: int
     down: int
     taps_per_phase: int  # resampler T
+    # Chunks folded into one grid step: multiplies the matmul M dimension
+    # (2*down*chunks_per_step rows) and divides the per-step overhead.
+    chunks_per_step: int = 1
 
     @property
-    def m_chunk(self) -> int:  # decimated samples per chunk
-        return 128 * self.down
+    def m_chunk(self) -> int:  # decimated samples per grid step
+        return 128 * self.down * self.chunks_per_step
 
     @property
     def chunk_complex(self) -> int:
@@ -60,8 +63,8 @@ class PallasWbfmSpec(NamedTuple):
         return 2 * self.chunk_complex
 
     @property
-    def rows(self) -> int:  # frame rows for the decimator
-        return self.down
+    def rows(self) -> int:  # frame rows per grid step
+        return self.down * self.chunks_per_step
 
     @property
     def row_width(self) -> int:  # complex samples per frame row
@@ -69,7 +72,7 @@ class PallasWbfmSpec(NamedTuple):
 
     @property
     def audio_per_chunk(self) -> int:
-        return 128 * self.up
+        return 128 * self.up * self.chunks_per_step
 
     def validate(self) -> None:
         assert math.gcd(self.down, 128) == 1, "down must be coprime with 128"
@@ -235,7 +238,7 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str,
         state_out_ref[0] = carry[:]
 
 
-def default_spec(config=None) -> PallasWbfmSpec:
+def default_spec(config=None, chunks_per_step: int = 1) -> PallasWbfmSpec:
     """Spec from a WbfmConfig (defaults to the standard broadcast chain)."""
     if config is None:
         from tpu_sdr.models import wbfm as M
@@ -247,6 +250,7 @@ def default_spec(config=None) -> PallasWbfmSpec:
         up=config.resample_up,
         down=config.resample_down,
         taps_per_phase=config.resample_taps_per_phase,
+        chunks_per_step=chunks_per_step,
     )
     spec.validate()
     return spec
