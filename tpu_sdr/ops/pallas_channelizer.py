@@ -27,7 +27,6 @@ Output gain/scaling matches pfb_analyze exactly (tests assert agreement).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import NamedTuple
 

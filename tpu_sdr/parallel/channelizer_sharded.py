@@ -27,7 +27,6 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpu_sdr.ops import channelizer as CH
-from tpu_sdr.ops import fm as F
 from tpu_sdr.parallel.halo import pull_left_halo
 
 

@@ -25,7 +25,7 @@ valid count — no dynamic shapes anywhere.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ layout), produced host-side with a zero-copy numpy view.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
