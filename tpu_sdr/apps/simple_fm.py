@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import logging
-import queue
 import sys
 import threading
 
@@ -68,37 +67,21 @@ def output(buf: np.ndarray) -> None:
     sys.stdout.buffer.flush()
 
 
-def receive_loop(sdr: RtlSdr, q: "queue.Queue[bytes | None]", shutdown: threading.Event):
-    """SDR read thread (ref receive, simple_fm.rs:89-132)."""
-    while not shutdown.is_set():
-        try:
-            data = sdr.read_sync(DEFAULT_BUF_LENGTH)
-        except Exception as e:  # read error ends the stream
-            log.info("Read error: %s", e)
-            break
-        if len(data) < DEFAULT_BUF_LENGTH:
-            log.info("Short read (%d), samples lost, exiting!", len(data))
-            break
-        q.put(data)
-    q.put(None)
-    log.info("Close")
-    sdr.close()
-
-
-def process_loop(demod, q, shutdown: threading.Event):
-    """Demod thread with running-average timing (ref process,
-    simple_fm.rs:135-170)."""
+def process_loop(demod, feeder, shutdown: threading.Event):
+    """Demod loop with running-average timing (ref process,
+    simple_fm.rs:135-170).  The receive side is the feeder's reader (the
+    native C++ pump/ring when built — the reference's receive thread,
+    simple_fm.rs:89-132)."""
     from tpu_sdr.utils.profiling import BlockStats
 
     stats = BlockStats()
-    while not shutdown.is_set():
-        buf = q.get()
-        if buf is None:
+    for data in feeder.blocks():
+        if shutdown.is_set():
             break
-        data = np.frombuffer(buf, dtype=np.uint8)
         with stats.block(len(data) // 2):
             audio = demod(data)
         output(audio)
+    stats.drop(feeder.dropped)
     if stats.blocks:
         log.info("Average processing time: %.2fms (%d loops); %s",
                  stats.avg_block_ms, stats.blocks, stats.summary())
@@ -153,16 +136,19 @@ def main(argv=None) -> int:
              1000.0 * 0.5 * DEFAULT_BUF_LENGTH / radio.capture_rate)
     log.info("Sampling at %d S/s", sdr.get_sample_rate())
 
+    from tpu_sdr.stream.feeder import BlockFeeder, DeviceSource
+
     shutdown = threading.Event()
-    q: "queue.Queue[bytes | None]" = queue.Queue()
-    rx = threading.Thread(target=receive_loop, args=(sdr, q, shutdown))
-    rx.start()
+    feeder = BlockFeeder(DeviceSource(sdr), block_bytes=DEFAULT_BUF_LENGTH,
+                         queue_blocks=16).start()
     try:
         with trace(args.trace):
-            process_loop(demod, q, shutdown)
+            process_loop(demod, feeder, shutdown)
     except KeyboardInterrupt:
         shutdown.set()
-    rx.join()
+    finally:
+        feeder.stop()  # also closes the device
+        log.info("Close")
     return 0
 
 
