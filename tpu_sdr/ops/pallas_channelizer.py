@@ -40,9 +40,17 @@ from tpu_sdr.ops import channelizer as chan
 
 
 class PallasPfbSpec(NamedTuple):
-    num_channels: int      # K
+    num_channels: int      # K (input frame width = total channels)
     branch_rows: int       # taps_per_branch + 1
     frames_per_chunk: int  # C
+    # Output channels this kernel instance produces (column slice of the
+    # analysis matrix).  < num_channels under channel-parallel sharding:
+    # every device frames the full input but computes only its K/n columns.
+    local_channels: int | None = None
+
+    @property
+    def out_channels(self) -> int:
+        return self.local_channels or self.num_channels
 
     @property
     def chunk_complex(self) -> int:
@@ -54,15 +62,20 @@ class PallasPfbSpec(NamedTuple):
 
     def validate(self) -> None:
         assert self.num_channels % 2 == 0
-        assert 2 * self.num_channels <= 512, "packed lanes beyond one matmul"
+        assert 2 * self.out_channels <= 512, "packed lanes beyond one matmul"
         assert self.frames_per_chunk % 8 == 0, "sublane alignment"
         assert self.branch_rows - 1 <= self.frames_per_chunk
 
 
-def make_packed_matrices(h_poly: np.ndarray, scale: float = 255.0):
+def make_packed_matrices(h_poly: np.ndarray, scale: float = 255.0,
+                         channel_slice: slice | None = None):
     """(M2_hi, M2_lo) bf16 pair of the packed [M_re | M_im] analysis matrix,
-    folding the x255 integer sample scale."""
+    folding the x255 integer sample scale.  ``channel_slice`` selects a
+    column block (for channel-parallel sharding)."""
     M_re, M_im = chan.pfb_mxu_matrices(h_poly)
+    if channel_slice is not None:
+        M_re = M_re[:, channel_slice]
+        M_im = M_im[:, channel_slice]
     M2 = np.concatenate([M_re, M_im], axis=1).astype(np.float64) / scale
     M2_hi = np.asarray(jnp.asarray(M2, dtype=jnp.bfloat16))
     M2_lo = np.asarray(jnp.asarray(
@@ -114,9 +127,10 @@ def _kernel(spec: PallasPfbSpec, data_ref, m2_hi_ref, m2_lo_ref,
 
     yr = matmul2(xw_re)
     yi = matmul2(xw_im)
-    y_re = yr[:, :K] - yi[:, K:]
-    y_im = yr[:, K:] + yi[:, :K]
-    out_ref[:] = jnp.concatenate([y_re, y_im], axis=1).reshape(1, C, 2 * K)
+    Ko = spec.out_channels
+    y_re = yr[:, :Ko] - yi[:, Ko:]
+    y_im = yr[:, Ko:] + yi[:, :Ko]
+    out_ref[:] = jnp.concatenate([y_re, y_im], axis=1).reshape(1, C, 2 * Ko)
 
     carry[:H] = pltpu.roll(xe_re, H, 0)[:H]   # last H frames, offset 0
     carry[H:] = pltpu.roll(xe_im, H, 0)[:H]
@@ -146,6 +160,7 @@ def channelize_fused(data_i16: jax.Array, state: jax.Array,
     same stream (u8 centered at 127.5, scale 1/127.5... the x255 integer
     scale divides out through M2)."""
     K, C = spec.num_channels, spec.frames_per_chunk
+    Ko = spec.out_channels
     H = spec.branch_rows - 1
     nchunks = data_i16.shape[0]
     out, new_state = pl.pallas_call(
@@ -162,20 +177,20 @@ def channelize_fused(data_i16: jax.Array, state: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, 2 * K), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, C, 2 * Ko), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * H, K), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nchunks, C, 2 * K), jnp.float32),
+            jax.ShapeDtypeStruct((nchunks, C, 2 * Ko), jnp.float32),
             jax.ShapeDtypeStruct((2 * H, K), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((2 * H, K), jnp.float32)],
         interpret=interpret,
     )(data_i16, m2_hi, m2_lo, state)
-    flat = out.reshape(nchunks * C, 2 * K)
-    return flat[:, :K], flat[:, K:], new_state
+    flat = out.reshape(nchunks * C, 2 * Ko)
+    return flat[:, :Ko], flat[:, Ko:], new_state
 
 
 def view_u8_as_i16(buf: np.ndarray, spec: PallasPfbSpec) -> np.ndarray:
