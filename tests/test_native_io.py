@@ -183,3 +183,33 @@ def test_pump_tolerates_nonblocking_fd():
     a.close()
     b.close()
     ring.close()
+
+
+def test_ring_concurrent_stress():
+    """Producer/consumer hammer: every block delivered exactly once, in
+    order, under concurrency (the ring is the serving path's only shared
+    mutable state — the framework's race-safety hinges on it)."""
+    ring = NativeRing(block_bytes=16, capacity=8)
+    n_blocks = 2000
+    got = []
+
+    def producer():
+        for i in range(n_blocks):
+            payload = i.to_bytes(4, "little") * 4
+            while not ring.push(payload):
+                pass  # full: spin until the consumer frees a slot
+        ring.set_eof()
+
+    def consumer():
+        while True:
+            blk = ring.pop(timeout_ms=10_000)
+            if blk is None:
+                return
+            got.append(int.from_bytes(bytes(blk[:4]), "little"))
+
+    t1 = threading.Thread(target=producer)
+    t2 = threading.Thread(target=consumer)
+    t1.start(); t2.start()
+    t1.join(timeout=30); t2.join(timeout=30)
+    assert got == list(range(n_blocks))
+    ring.close()
