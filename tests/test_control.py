@@ -318,3 +318,13 @@ def test_device_id_variants():
     assert api.DeviceId.index(0) == api.DeviceId("index", 0)
     assert api.DeviceId.fd(42) == api.DeviceId("fd", 42)
     assert api.DeviceId.index(0) != api.DeviceId.fd(42)
+
+
+def test_parse_scaled_units():
+    """k/M/G suffix parsing (ref rtl_tcp.rs:134-289 flag scaling)."""
+    from tpu_sdr.utils.units import parse_scaled
+
+    assert parse_scaled("94.9M") == 94_900_000
+    assert parse_scaled("2048k") == 2_048_000
+    assert parse_scaled("1.7G") == 1_700_000_000
+    assert parse_scaled("170000") == 170_000
