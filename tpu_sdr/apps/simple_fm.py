@@ -13,6 +13,7 @@ Modes (--mode):
   boxcar  float reference-parity chain (fast, >=60 dB vs exact)
   fir     FIR quality chain (best audio)
   pallas  fused Pallas TPU kernel chain (fastest; interpreted off-TPU)
+  stereo  pilot-tone stereo decoder -> interleaved L/R s16 (play with -c 2)
 """
 
 from __future__ import annotations
@@ -41,6 +42,17 @@ def make_demodulator(mode: str):
     if mode == "exact":
         streamer = wbfm_exact.WbfmExactStreamer()
         return streamer.demodulate, "exact integer chain"
+    if mode == "stereo":
+        from tpu_sdr.models.wbfm_stereo import WbfmStereoStreamer
+        from tpu_sdr.native import f32_to_s16
+
+        st = WbfmStereoStreamer()
+
+        def demod_stereo(buf: np.ndarray) -> np.ndarray:
+            audio = st.demodulate(buf)  # (2, m)
+            return f32_to_s16(audio.T.reshape(-1))  # interleaved L/R s16
+
+        return demod_stereo, "stereo multiplex decoder (pilot-tone)"
     if mode == "pallas":
         from tpu_sdr.ops.pallas_fm import PallasWbfmStreamer
 
@@ -106,7 +118,8 @@ def main(argv=None) -> int:
     p.add_argument("--freq", type=int, default=FREQUENCY)
     p.add_argument("--file", help="read raw u8 I/Q from file instead of a device")
     p.add_argument("--device", type=int, default=0)
-    p.add_argument("--mode", choices=["exact", "boxcar", "fir", "pallas"],
+    p.add_argument("--mode",
+                   choices=["exact", "boxcar", "fir", "pallas", "stereo"],
                    default="fir")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")

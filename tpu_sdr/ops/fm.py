@@ -165,16 +165,21 @@ def make_split_bf16(W: np.ndarray, scale: float = 255.0):
 
 def _banded_frames(xext: jax.Array, row_len: int, decim: int, m: int,
                    chunk_out: int) -> jax.Array:
-    """Overlapping stride-``decim`` windows via two reshapes (no gathers)."""
+    """Overlapping stride-``decim`` windows via shifted reshapes (no
+    gathers): frame c covers ``xp[c*step : c*step + row_len]``, built from
+    ``ceil(row_len/step)`` step-shifted views (filters longer than one step
+    just use more views)."""
     B = xext.shape[0]
     step = chunk_out * decim
-    halo = row_len - step
     nchunks = -(-m // chunk_out)
-    pad = nchunks * step + step - xext.shape[1]
+    q = -(-row_len // step)
+    pad = (nchunks + q) * step - xext.shape[1]
     xp = jnp.pad(xext, ((0, 0), (0, max(pad, 0))))
-    base = xp[:, : nchunks * step].reshape(B, nchunks, step)
-    rolled = xp[:, step : step + nchunks * step].reshape(B, nchunks, step)[:, :, :halo]
-    return jnp.concatenate([base, rolled], axis=2)  # (B, nchunks, step+halo)
+    parts = [
+        xp[:, i * step : (i + nchunks) * step].reshape(B, nchunks, step)
+        for i in range(q)
+    ]
+    return jnp.concatenate(parts, axis=2)[:, :, :row_len]
 
 
 def banded_decim_apply(xext: jax.Array, W: jax.Array, decim: int, m: int,
@@ -237,6 +242,24 @@ def fir_decimate_mxu(
         jnp.concatenate([state.hist_im, im])[n:],
     )
     return y[0], y[1], new_state
+
+
+class DelayState(NamedTuple):
+    """Last ``D`` samples — a streaming integer delay line."""
+
+    hist: jax.Array
+
+
+def delay_init(d: int) -> DelayState:
+    return DelayState(jnp.zeros(d, jnp.float32))
+
+
+def delay(x: jax.Array, state: DelayState):
+    """``out[k] = x[k - D]`` across block boundaries (group-delay
+    compensation for multi-arm filter graphs)."""
+    d = state.hist.shape[0]
+    xx = jnp.concatenate([state.hist, x])
+    return xx[: x.shape[0]], DelayState(xx[xx.shape[0] - d:])
 
 
 # ---------------------------------------------------------------------------

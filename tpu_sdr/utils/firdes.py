@@ -61,3 +61,16 @@ def resampler_taps(up: int, down: int, taps_per_phase: int = 16,
     cutoff = cutoff_frac / (2 * max(up, down))  # cycles/sample at upsampled rate
     h = lowpass(num_taps, cutoff, 1.0, atten_db)
     return (h * up).astype(np.float32)
+
+
+def bandpass(num_taps: int, center: float, half_width: float, fs: float = 1.0,
+             atten_db: float = 60.0) -> np.ndarray:
+    """Kaiser-windowed-sinc bandpass: lowpass prototype modulated to
+    ``center`` Hz, normalized to unity gain at the center frequency."""
+    lp = lowpass(num_taps, half_width, fs, atten_db)
+    n = np.arange(num_taps) - (num_taps - 1) / 2.0
+    bp = 2.0 * lp * np.cos(2 * np.pi * center / fs * n)
+    # normalize |H(center)| to 1
+    w = np.exp(-2j * np.pi * center / fs * np.arange(num_taps))
+    gain = abs(np.sum(bp * w))
+    return (bp / gain).astype(np.float32)

@@ -157,3 +157,34 @@ def synth_multistation_u8(
     iq[1::2] = sig.imag
     u8 = np.clip(np.round(iq * 127.0 + 127.5), 0, 255).astype(np.uint8)
     return u8, audios
+
+
+def synth_wbfm_stereo_u8(
+    num_samples: int,
+    capture_rate: float = 1_020_000.0,
+    left_freq: float = 800.0,
+    right_freq: float = 1_300.0,
+    deviation: float = 75_000.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stereo WBFM capture: standard pilot-tone multiplex
+    (0.4*(L+R) + 0.1*pilot@19k + 0.4*(L-R)*cos 38k), FM-modulated at the
+    -fs/4 capture offset.  Returns (iq_u8, left audio, right audio) — the
+    test vector for the stereo decoder (beyond the reference's mono chain).
+    """
+    t = np.arange(num_samples) / capture_rate
+    left = 0.5 * np.sin(2 * np.pi * left_freq * t)
+    right = 0.5 * np.sin(2 * np.pi * right_freq * t)
+    pilot = np.cos(2 * np.pi * 19_000.0 * t)
+    sub = np.cos(2 * np.pi * 38_000.0 * t)  # phase-locked 2x pilot
+    mpx = 0.45 * (left + right) + 0.1 * pilot + 0.45 * (left - right) * sub
+
+    phase = 2 * np.pi * deviation * np.cumsum(mpx) / capture_rate
+    baseband = np.exp(1j * phase)
+    k = np.arange(num_samples) % 4
+    offset = np.choose(k, [1 + 0j, -1j, -1 + 0j, 1j])
+    sig = 0.9 * baseband * offset
+    iq = np.empty(2 * num_samples, dtype=np.float64)
+    iq[0::2] = sig.real
+    iq[1::2] = sig.imag
+    u8 = np.clip(np.round(iq * 127.0 + 127.5), 0, 255).astype(np.uint8)
+    return u8, left, right
