@@ -55,3 +55,19 @@ def test_streaming_invariance():
     split = np.concatenate(
         [two.demodulate(u8[:cut]), two.demodulate(u8[cut:])], axis=1)
     np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_front_matches_xla_front():
+    config = wb.WidebandConfig(num_channels=64, channels=(3, 60))
+    n = 8 * 64 * 85 * 8  # multiple of both quanta
+    u8, _ = synth.synth_multistation_u8(
+        n, config.capture_rate, station_freqs=[3 * config.channel_rate,
+                                               -4 * config.channel_rate],
+        audio_freqs=[1_000.0, 2_500.0], deviation=45_000.0)
+
+    a = wb.WidebandStreamer(config).demodulate(u8)
+    b = wb.WidebandStreamer(config, use_pallas=True, interpret=True).demodulate(u8)
+    m = min(a.shape[1], b.shape[1])
+    err = a[:, :m] - b[:, :m]
+    snr = 10 * np.log10(np.mean(a[:, :m] ** 2) / max(np.mean(err**2), 1e-30))
+    assert snr >= 70.0, f"pallas vs XLA wideband front: {snr:.1f} dB"
