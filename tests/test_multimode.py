@@ -1,0 +1,77 @@
+"""AM / NBFM / USB / LSB narrowband modes (rtl_fm's -M capabilities,
+which the reference dropped)."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.models import multimode as MM
+from tpu_sdr.utils import synth
+
+FS = 1_020_000
+QUANTUM = 2 * 6 * 85  # bytes
+
+
+def _to_u8(baseband: np.ndarray) -> np.ndarray:
+    """Complex baseband -> u8 I/Q at the -fs/4 capture offset."""
+    n = len(baseband)
+    k = np.arange(n) % 4
+    offset = np.choose(k, [1 + 0j, -1j, -1 + 0j, 1j])
+    sig = baseband * offset
+    iq = np.empty(2 * n, np.float64)
+    iq[0::2] = sig.real
+    iq[1::2] = sig.imag
+    return np.clip(np.round(iq * 127.0 + 127.5), 0, 255).astype(np.uint8)
+
+
+def _n_samples(seconds: float) -> int:
+    n = int(FS * seconds)
+    return n - (n % (QUANTUM // 2))
+
+
+def test_am_envelope_recovers_tone():
+    n = _n_samples(0.4)
+    t = np.arange(n) / FS
+    bb = 0.45 * (1.0 + 0.8 * np.sin(2 * np.pi * 1_000.0 * t))
+    s = MM.MultimodeStreamer(MM.MultimodeConfig(mode="am"))
+    audio = s.demodulate(_to_u8(bb.astype(np.complex128)))
+    snr = synth.tone_snr(audio.astype(np.float64), 1_000.0, 32_000, skip=400)
+    assert snr >= 30.0, f"AM tone SNR {snr:.1f} dB"
+
+
+def test_nbfm_recovers_tone():
+    n = _n_samples(0.4)
+    u8, _ = synth.synth_wbfm_u8(n, capture_rate=FS, audio_freq=900.0,
+                                deviation=5_000.0)
+    s = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm"))
+    audio = s.demodulate(np.asarray(u8, np.uint8))
+    snr = synth.tone_snr(audio.astype(np.float64), 900.0, 32_000, skip=400)
+    assert snr >= 30.0, f"NBFM tone SNR {snr:.1f} dB"
+
+
+def test_usb_selects_upper_sideband():
+    n = _n_samples(0.4)
+    t = np.arange(n) / FS
+    bb = 0.7 * np.exp(2j * np.pi * 1_000.0 * t)  # tone in the UPPER sideband
+    u8 = _to_u8(bb)
+    usb = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb")).demodulate(u8)
+    lsb = MM.MultimodeStreamer(MM.MultimodeConfig(mode="lsb")).demodulate(u8)
+    snr_usb = synth.tone_snr(usb.astype(np.float64), 1_000.0, 32_000, skip=400)
+    p_usb = np.mean(usb[400:] ** 2)
+    p_lsb = np.mean(lsb[400:] ** 2)
+    assert snr_usb >= 25.0, f"USB tone SNR {snr_usb:.1f} dB"
+    # sideband rejection: the LSB demodulator must suppress the USB tone
+    rej = 10 * np.log10(p_usb / max(p_lsb, 1e-30))
+    assert rej >= 20.0, f"sideband rejection {rej:.1f} dB"
+
+
+def test_streaming_invariance_am():
+    n = _n_samples(0.3)
+    t = np.arange(n) / FS
+    bb = 0.45 * (1.0 + 0.8 * np.sin(2 * np.pi * 700.0 * t))
+    u8 = _to_u8(bb.astype(np.complex128))
+    one = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb"))
+    full = one.demodulate(u8)
+    two = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb"))
+    cut = (len(u8) // 2) - ((len(u8) // 2) % QUANTUM)
+    split = np.concatenate([two.demodulate(u8[:cut]), two.demodulate(u8[cut:])])
+    np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)

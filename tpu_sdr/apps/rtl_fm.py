@@ -1,0 +1,93 @@
+"""rtl_fm — multi-mode narrowband receiver CLI.
+
+The reference crate ports only the WBFM slice of the original C ``rtl_fm``;
+this app restores the classic multi-mode surface on the TPU data plane:
+
+    -M wbfm   broadcast FM (the simple_fm chain)
+    -M fm     narrow FM (12.5 kHz channel)
+    -M am     envelope detection
+    -M usb/-M lsb  single sideband (3 kHz audio)
+
+s16-LE mono audio on stdout, like the original.
+
+Example: python -m tpu_sdr.apps.rtl_fm -M am --file capture.bin > audio.raw
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+from tpu_sdr import DEFAULT_BUF_LENGTH
+from tpu_sdr.utils.units import parse_scaled
+
+log = logging.getLogger("rtl_fm")
+
+
+def make_streamer(mode: str):
+    if mode == "wbfm":
+        from tpu_sdr.models import wbfm
+
+        return wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir"))
+    from tpu_sdr.models import multimode as MM
+
+    mm = {"fm": "nbfm", "am": "am", "usb": "usb", "lsb": "lsb"}[mode]
+    return MM.MultimodeStreamer(MM.MultimodeConfig(mode=mm))
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-M", dest="mode", default="wbfm",
+                   choices=["wbfm", "fm", "am", "usb", "lsb"])
+    p.add_argument("-f", dest="frequency", type=parse_scaled,
+                   default=94_900_000)
+    p.add_argument("--file", help="raw u8 I/Q capture (else open a device)")
+    p.add_argument("-d", dest="device", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from tpu_sdr.native import f32_to_s16
+
+    streamer = make_streamer(args.mode)
+    log.info("Demodulating %s", args.mode)
+
+    def emit(buf: np.ndarray) -> None:
+        audio = streamer.demodulate(buf)
+        sys.stdout.buffer.write(f32_to_s16(audio).tobytes())
+
+    if args.file:
+        with open(args.file, "rb") as f:
+            while True:
+                chunk = f.read(DEFAULT_BUF_LENGTH)
+                if len(chunk) < 16:
+                    break
+                emit(np.frombuffer(chunk, dtype=np.uint8))
+        sys.stdout.buffer.flush()
+        return 0
+
+    from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
+    from tpu_sdr.stream.feeder import BlockFeeder, DeviceSource
+
+    sdr = RtlSdr.open(DeviceId.index(args.device))
+    sdr.set_tuner_gain(TunerGain.AUTO)
+    cap = streamer.config.capture_rate if hasattr(streamer.config, "capture_rate") \
+        else 1_020_000
+    sdr.set_sample_rate(cap)
+    sdr.set_center_freq(args.frequency + cap // 4)  # fs/4 offset capture
+    sdr.reset_buffer()
+    feeder = BlockFeeder(DeviceSource(sdr)).start()
+    try:
+        for block in feeder.blocks():
+            emit(block)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        feeder.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
