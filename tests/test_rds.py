@@ -1,0 +1,96 @@
+"""RDS physical-layer bit recovery from a synthesized multiplex."""
+
+import numpy as np
+import pytest
+
+from tpu_sdr.models import rds as R
+
+FS = 170_000
+
+
+def _synth_mpx(n_bits: int, seed: int = 4):
+    """Standard multiplex: mono tone + pilot + RDS BPSK at 3x pilot."""
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+    d = np.bitwise_xor.accumulate(bits)  # differential encode
+    n = int(np.ceil((n_bits + 2) / R.RDS_RATE * FS))
+    n -= n % 85  # resampler alignment
+    t = np.arange(n) / FS
+    theta = 2 * np.pi * 19_000.0 * t
+    tb = t * R.RDS_RATE
+    k = np.minimum(tb.astype(int), n_bits - 1)
+    frac = tb - tb.astype(int)
+    sign = np.where(d[k] == 0, 1.0, -1.0) * np.where(frac < 0.5, 1.0, -1.0)
+    mpx = (0.4 * np.sin(2 * np.pi * 1_000.0 * t)
+           + 0.1 * np.cos(theta)
+           + 0.06 * sign * np.cos(3 * theta))
+    return mpx.astype(np.float32), bits
+
+
+def _best_alignment(got: np.ndarray, want: np.ndarray, max_off: int = 8):
+    best = (0.0, 0)
+    for off in range(-max_off, max_off + 1):
+        if off >= 0:
+            m = min(len(got) - off, len(want))
+            agree = np.mean(got[off:off + m] == want[:m])
+        else:
+            m = min(len(got), len(want) + off)
+            agree = np.mean(got[:m] == want[-off:-off + m])
+        best = max(best, (float(agree), off))
+    return best
+
+
+def test_rds_bits_recovered():
+    mpx, bits = _synth_mpx(3000)
+    rx = R.RdsReceiver()
+    b152 = rx.process(mpx)
+    got = R.decode_bits(b152)
+    assert len(got) >= 2500
+    # drop the filter-transient first symbols, then align (the analog front
+    # end delays the stream by a couple of bits)
+    agree, off = _best_alignment(got[2:], bits[2:])
+    assert agree >= 0.995, f"bit agreement {agree:.3f} (offset {off})"
+
+
+def test_rds_streaming_invariance():
+    mpx, _ = _synth_mpx(1200)
+    one = R.RdsReceiver()
+    full = one.process(mpx)
+    two = R.RdsReceiver()
+    cut = (len(mpx) // 2) - ((len(mpx) // 2) % 85)
+    split = np.concatenate([two.process(mpx[:cut]), two.process(mpx[cut:])])
+    np.testing.assert_allclose(split, full, rtol=2e-3, atol=2e-4)
+
+
+def test_rds_through_full_fm_chain():
+    """u8 FM capture (stereo multiplex + RDS) -> WBFM front end ->
+    discriminator -> RDS bits: the whole physical layer end to end."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.ops import fm as F
+    from tpu_sdr.utils import synth
+
+    rng = np.random.default_rng(6)
+    n_bits = 1500
+    want = rng.integers(0, 2, n_bits).astype(np.uint8)
+    n = int(np.ceil((n_bits + 2) / R.RDS_RATE * 1_020_000))
+    n -= n % (6 * 85)
+    u8, _, _ = synth.synth_wbfm_stereo_u8(
+        n, capture_rate=1_020_000, rds_bits=want)
+
+    # front end to the multiplex (discriminator output at 170 kHz)
+    config = wbfm.WbfmConfig(filter_mode="fir")
+    params = wbfm.make_params(config)
+    re, im = F.u8_to_f32(jnp.asarray(np.asarray(u8, np.uint8)))
+    re, im, _ = F.rotate_fs4(re, im, F.rotator_init())
+    L = config.decim * config.fir_taps_per_phase
+    re, im, _ = F.fir_decimate_mxu(re, im, params.decim_W, L, config.decim,
+                                   F.fir_init(L), W_split=params.decim_W_split)
+    mpx, _ = F.quadrature_demod(re, im, F.quad_init())
+
+    rx = R.RdsReceiver()
+    b152 = rx.process(np.asarray(mpx))
+    got = R.decode_bits(b152)
+    agree, off = _best_alignment(got[2:], want[2:])
+    assert agree >= 0.99, f"end-to-end RDS agreement {agree:.3f} ({off})"

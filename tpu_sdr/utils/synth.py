@@ -165,11 +165,15 @@ def synth_wbfm_stereo_u8(
     left_freq: float = 800.0,
     right_freq: float = 1_300.0,
     deviation: float = 75_000.0,
+    rds_bits: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stereo WBFM capture: standard pilot-tone multiplex
-    (0.4*(L+R) + 0.1*pilot@19k + 0.4*(L-R)*cos 38k), FM-modulated at the
-    -fs/4 capture offset.  Returns (iq_u8, left audio, right audio) — the
-    test vector for the stereo decoder (beyond the reference's mono chain).
+    (0.4*(L+R) + 0.1*pilot@19k + 0.4*(L-R)*cos 38k [+ 0.06*RDS@57k]),
+    FM-modulated at the -fs/4 capture offset.  Returns (iq_u8, left audio,
+    right audio) — the test vector for the stereo/RDS decoders (beyond the
+    reference's mono chain).  ``rds_bits`` adds the differentially-encoded
+    biphase BPSK subcarrier at 3x pilot with the pilot-locked 1187.5 bps
+    clock.
     """
     t = np.arange(num_samples) / capture_rate
     left = 0.5 * np.sin(2 * np.pi * left_freq * t)
@@ -177,6 +181,14 @@ def synth_wbfm_stereo_u8(
     pilot = np.cos(2 * np.pi * 19_000.0 * t)
     sub = np.cos(2 * np.pi * 38_000.0 * t)  # phase-locked 2x pilot
     mpx = 0.45 * (left + right) + 0.1 * pilot + 0.45 * (left - right) * sub
+    if rds_bits is not None:
+        bits = np.asarray(rds_bits, np.uint8)
+        d = np.bitwise_xor.accumulate(bits)
+        tb = t * 1187.5
+        k = np.minimum(tb.astype(int), len(bits) - 1)
+        frac = tb - tb.astype(int)
+        sign = np.where(d[k] == 0, 1.0, -1.0) * np.where(frac < 0.5, 1.0, -1.0)
+        mpx = mpx + 0.06 * sign * np.cos(2 * np.pi * 57_000.0 * t)
 
     phase = 2 * np.pi * deviation * np.cumsum(mpx) / capture_rate
     baseband = np.exp(1j * phase)
