@@ -8,10 +8,11 @@ from tpu_sdr.models import rds as R
 FS = 170_000
 
 
-def _synth_mpx(n_bits: int, seed: int = 4):
+def _synth_mpx(n_bits: int, seed: int = 4, bits: np.ndarray | None = None):
     """Standard multiplex: mono tone + pilot + RDS BPSK at 3x pilot."""
-    rng = np.random.default_rng(seed)
-    bits = rng.integers(0, 2, n_bits).astype(np.uint8)
+    if bits is None:
+        rng = np.random.default_rng(seed)
+        bits = rng.integers(0, 2, n_bits).astype(np.uint8)
     d = np.bitwise_xor.accumulate(bits)  # differential encode
     n = int(np.ceil((n_bits + 2) / R.RDS_RATE * FS))
     n -= n % 85  # resampler alignment
@@ -94,3 +95,28 @@ def test_rds_through_full_fm_chain():
     got = R.decode_bits(b152)
     agree, off = _best_alignment(got[2:], want[2:])
     assert agree >= 0.99, f"end-to-end RDS agreement {agree:.3f} ({off})"
+
+
+def test_rds_group_sync_end_to_end():
+    """Synthesized RDS groups survive the whole physical layer: multiplex
+    -> coherent demod -> bits -> block sync -> checkword-validated 16-bit
+    words."""
+    words = [(0x3001 + 7 * g, 0x0520 + g, 0xABC0 ^ g, 0x2020 + g)
+             for g in range(20)]
+    payload = np.concatenate([R.make_group(w) for w in words])
+    # pad front/back with random bits so sync must actually search
+    rng = np.random.default_rng(8)
+    bits = np.concatenate([rng.integers(0, 2, 37).astype(np.uint8), payload,
+                           rng.integers(0, 2, 40).astype(np.uint8)])
+    mpx, _ = _synth_mpx(len(bits), bits=bits)
+
+    rx = R.RdsReceiver()
+    got_bits = R.decode_bits(rx.process(mpx))
+    groups = R.sync_and_parse(got_bits)
+    assert len(groups) >= 18, f"only {len(groups)} groups decoded"
+    # decoded groups must be a contiguous run of the transmitted ones
+    first = groups[0]
+    assert first in [tuple(w) for w in words]
+    start = [tuple(w) for w in words].index(first)
+    for i, g in enumerate(groups[: len(words) - start]):
+        assert g == tuple(words[start + i])

@@ -179,3 +179,91 @@ jax.tree_util.register_pytree_node(
     lambda p: ((p.W_p, p.W_s, p.W_lp, p.resamp_V), p.taps),
     lambda aux, c: RdsParams(*c, aux),
 )
+
+
+# ---------------------------------------------------------------------------
+# Block/group layer (host-side parser over the recovered bit stream)
+# ---------------------------------------------------------------------------
+#
+# RDS blocks are 26 bits: 16 information bits followed by a 10-bit checkword
+# = CRC(info) XOR the block's offset word (which identifies the block's
+# position in the group).  g(x) = x^10+x^8+x^7+x^5+x^4+x^3+1.
+
+_G_POLY = 0b10110111001  # x^10..x^0 coefficients of g(x)
+OFFSET_WORDS = {"A": 0x0FC, "B": 0x198, "C": 0x168, "C'": 0x350, "D": 0x1B4}
+
+
+def crc10(info: int) -> int:
+    """10-bit CRC of a 16-bit information word: info(x)*x^10 mod g(x)."""
+    reg = info << 10
+    for bit in range(25, 9, -1):
+        if reg & (1 << bit):
+            reg ^= _G_POLY << (bit - 10)
+    return reg & 0x3FF
+
+
+def make_block(info: int, offset: str) -> np.ndarray:
+    """16-bit word + offset name -> 26 transmitted bits (MSB first)."""
+    check = crc10(info) ^ OFFSET_WORDS[offset]
+    word = (info << 10) | check
+    return np.array([(word >> (25 - i)) & 1 for i in range(26)], np.uint8)
+
+
+def make_group(words: tuple[int, int, int, int],
+               version_b: bool = False) -> np.ndarray:
+    """Four 16-bit words -> one 104-bit group (offsets A,B,C|C',D)."""
+    offs = ("A", "B", "C'" if version_b else "C", "D")
+    return np.concatenate([make_block(w, o) for w, o in zip(words, offs)])
+
+
+def _block_offset(bits26: np.ndarray) -> str | None:
+    info = 0
+    for b in bits26[:16]:
+        info = (info << 1) | int(b)
+    check = 0
+    for b in bits26[16:]:
+        check = (check << 1) | int(b)
+    want = check ^ crc10(info)
+    for name, off in OFFSET_WORDS.items():
+        if want == off:
+            return name
+    return None
+
+
+def sync_and_parse(bits: np.ndarray, max_groups: int = 64):
+    """Find block sync in a recovered bit stream and parse groups.
+
+    Returns a list of 4-tuples of 16-bit words (one per group with all four
+    blocks passing their checkwords).  A real receiver adds error
+    correction and flywheel sync; this is the validating parser.
+    """
+    bits = np.asarray(bits, np.uint8)
+    seq = ("A", "B", None, "D")  # None: C or C'
+    for start in range(min(len(bits) - 104, 26 * 4)):
+        ok = True
+        for blk, want in enumerate(seq):
+            got = _block_offset(bits[start + 26 * blk: start + 26 * (blk + 1)])
+            if want is None:
+                ok &= got in ("C", "C'")
+            else:
+                ok &= got == want
+        if not ok:
+            continue
+        groups = []
+        pos = start
+        while pos + 104 <= len(bits) and len(groups) < max_groups:
+            words = []
+            for blk in range(4):
+                w26 = bits[pos + 26 * blk: pos + 26 * (blk + 1)]
+                if _block_offset(w26) is None:
+                    words = None
+                    break
+                info = 0
+                for b in w26[:16]:
+                    info = (info << 1) | int(b)
+                words.append(info)
+            if words is not None:
+                groups.append(tuple(words))
+            pos += 104
+        return groups
+    return []
