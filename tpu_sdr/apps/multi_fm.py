@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default=None,
                    help="write station_<ch>.raw files here (default: stdout "
                         "when one channel, ./ otherwise)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas channelizer front")
     args = p.parse_args(argv)
 
     from tpu_sdr.models import wbfm_wideband as wb
@@ -44,7 +46,7 @@ def main(argv=None) -> int:
     channels = tuple(int(c) for c in args.channels.split(","))
     config = wb.WidebandConfig(num_channels=args.num_channels,
                                channels=channels)
-    streamer = wb.WidebandStreamer(config)
+    streamer = wb.WidebandStreamer(config, use_pallas=args.pallas)
     log.info("Capture rate %.3f Msps, %d channels of %d kHz, stations %s",
              config.capture_rate / 1e6, config.num_channels,
              config.channel_rate // 1000, list(channels))

@@ -35,7 +35,7 @@ SAMPLE_RATE = 170_000  # demod rate (ref simple_fm.rs:26)
 RATE_RESAMPLE = 32_000  # audio out (ref simple_fm.rs:27)
 
 
-def make_demodulator(mode: str):
+def make_demodulator(mode: str, deemph_us: float = 0.0):
     """Return (demod_fn(u8 block)->np audio s16, description)."""
     from tpu_sdr.models import wbfm, wbfm_exact
 
@@ -60,8 +60,11 @@ def make_demodulator(mode: str):
         desc = "fused Pallas chain"
     else:
         filter_mode = "boxcar" if mode == "boxcar" else "fir"
-        streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=filter_mode))
+        streamer = wbfm.WbfmStreamer(wbfm.WbfmConfig(
+            filter_mode=filter_mode, deemphasis_tau=deemph_us * 1e-6))
         desc = f"float chain ({filter_mode})"
+        if deemph_us:
+            desc += f", {deemph_us:.0f}us de-emphasis"
 
     from tpu_sdr.native import f32_to_s16
 
@@ -123,13 +126,16 @@ def main(argv=None) -> int:
                    default="fir")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
+    p.add_argument("--deemph", type=float, default=0.0, metavar="US",
+                   help="de-emphasis time constant in microseconds "
+                        "(75 US / 50 EU; fir/boxcar modes)")
     args = p.parse_args(argv)
 
     from tpu_sdr.models.wbfm_exact import optimal_settings
     from tpu_sdr.utils.profiling import trace
 
     radio, _demod_cfg = optimal_settings(args.freq, SAMPLE_RATE)
-    demod, desc = make_demodulator(args.mode)
+    demod, desc = make_demodulator(args.mode, args.deemph)
     log.info("Demodulating with %s", desc)
 
     if args.file:
