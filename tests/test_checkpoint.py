@@ -59,3 +59,47 @@ def test_class_mismatch_rejected(capture, tmp_path):
     save_stream_state(ckpt, s)
     with pytest.raises(ValueError, match="checkpoint is for"):
         load_stream_state(ckpt, wbfm_exact.WbfmExactStreamer())
+
+
+def test_stereo_streamer_roundtrip(tmp_path):
+    from tpu_sdr.models import wbfm_stereo as ST
+
+    u8, _, _ = synth.synth_wbfm_stereo_u8(510 * 400, capture_rate=1_020_000)
+    u8 = np.asarray(u8, np.uint8)
+
+    def make():
+        return ST.WbfmStereoStreamer()
+
+    ref = make()
+    full = np.concatenate([ref.demodulate(u8[:100_001]),
+                           ref.demodulate(u8[100_001:])], axis=1)
+    first = make()
+    out1 = first.demodulate(u8[:100_001])
+    ckpt = str(tmp_path / "st.npz")
+    save_stream_state(ckpt, first)
+    resumed = make()
+    load_stream_state(ckpt, resumed)
+    out2 = resumed.demodulate(u8[100_001:])
+    np.testing.assert_array_equal(np.concatenate([out1, out2], axis=1), full)
+
+
+def test_multimode_streamer_roundtrip(tmp_path):
+    from tpu_sdr.models import multimode as MM
+
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, 510 * 300, dtype=np.uint8)
+
+    def make():
+        return MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb"))
+
+    ref = make()
+    full = np.concatenate([ref.demodulate(u8[:70_003]),
+                           ref.demodulate(u8[70_003:])])
+    first = make()
+    out1 = first.demodulate(u8[:70_003])
+    ckpt = str(tmp_path / "mm.npz")
+    save_stream_state(ckpt, first)
+    resumed = make()
+    load_stream_state(ckpt, resumed)
+    out2 = resumed.demodulate(u8[70_003:])
+    np.testing.assert_array_equal(np.concatenate([out1, out2]), full)
