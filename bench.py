@@ -33,14 +33,28 @@ N_SHORT, N_LONG = 5, 25
 
 
 def _diff_time(run) -> float:
-    """Seconds per iteration, fixed latency cancelled, best of 2 rounds."""
+    """Seconds per iteration, fixed latency cancelled.
+
+    The tunnel's async pipelining occasionally makes the short/long delta
+    non-positive (both runs hide behind the same fixed latency); such
+    degenerate rounds are rejected and the conservative upper bound
+    ``t_long / N_LONG`` (which still CONTAINS the fixed latency) is used
+    instead — the reported number can only understate the true throughput.
+    """
     run(2)  # warm (compile already done by caller)
-    best = float("inf")
-    for _ in range(2):
+    deltas = []
+    upper = float("inf")
+    for _ in range(3):
         t_short = run(N_SHORT)
         t_long = run(N_LONG)
-        best = min(best, (t_long - t_short) / (N_LONG - N_SHORT))
-    return max(best, 1e-9)
+        upper = min(upper, t_long / N_LONG)
+        d = (t_long - t_short) / (N_LONG - N_SHORT)
+        if d > 0:
+            deltas.append(d)
+    deltas = [d for d in deltas if d >= 0.2 * upper]  # reject noise-floor hits
+    if deltas:
+        return sorted(deltas)[len(deltas) // 2]
+    return upper
 
 
 def bench_xla(buf, precision: str):

@@ -40,9 +40,19 @@ def _run(fn, *args, iters=20):
 
     readback(fn(*args))  # compile
     short = max(2, iters // 4)
-    t_short = run(short)
-    t_long = run(iters)
-    return max((t_long - t_short) / (iters - short), 1e-9)
+    deltas = []
+    upper = float("inf")
+    for _ in range(2):
+        t_short = run(short)
+        t_long = run(iters)
+        upper = min(upper, t_long / iters)
+        d = (t_long - t_short) / (iters - short)
+        if d > 0:
+            deltas.append(d)
+    # degenerate deltas (async pipelining hid both runs behind the fixed
+    # latency) fall back to the conservative upper bound t_long/iters
+    deltas = [d for d in deltas if d >= 0.2 * upper]
+    return sorted(deltas)[len(deltas) // 2] if deltas else upper
 
 
 def report(metric, value, unit, baseline=None):
