@@ -141,7 +141,7 @@ def _kernel(spec: PallasPfbSpec, data_ref, m2_hi_ref, m2_lo_ref,
 
 
 def default_spec(num_channels: int = 64, taps_per_branch: int = 8,
-                 frames_per_chunk: int = 512) -> PallasPfbSpec:
+                 frames_per_chunk: int = 256) -> PallasPfbSpec:
     spec = PallasPfbSpec(num_channels, taps_per_branch + 1, frames_per_chunk)
     spec.validate()
     return spec
@@ -210,7 +210,7 @@ class PallasPfbStreamer:
     """
 
     def __init__(self, num_channels: int = 64, taps_per_branch: int = 8,
-                 frames_per_chunk: int = 512, interpret: bool | None = None):
+                 frames_per_chunk: int = 256, interpret: bool | None = None):
         self.spec = default_spec(num_channels, taps_per_branch,
                                  frames_per_chunk)
         self.h_poly = chan.design_pfb(num_channels, taps_per_branch)

@@ -40,7 +40,7 @@ class ShardedPallasPfb:
 
 def make_sharded_pfb_pallas(mesh: Mesh, num_channels: int = 64,
                             taps_per_branch: int = 8,
-                            frames_per_chunk: int = 512,
+                            frames_per_chunk: int = 256,
                             axis: str = "sp",
                             interpret: bool | None = None) -> ShardedPallasPfb:
     """Build the jitted channel-parallel fused channelizer over ``axis``."""
