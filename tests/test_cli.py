@@ -1,0 +1,95 @@
+"""In-process CLI tests for the app entry points (file modes)."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_sdr.utils import synth
+
+
+@pytest.fixture
+def capture_file(tmp_path):
+    u8, _ = synth.synth_wbfm_u8(510 * 500, capture_rate=1_020_000)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(bytes(u8))
+    return str(path)
+
+
+class _BinStdout:
+    def __init__(self):
+        self.buffer = io.BytesIO()
+
+    def flush(self):
+        pass
+
+    def write(self, s):  # stray text writes
+        pass
+
+
+def _run_capture_stdout(main, argv):
+    old = sys.stdout
+    sys.stdout = out = _BinStdout()
+    try:
+        rc = main(argv)
+    finally:
+        sys.stdout = old
+    return rc, out.buffer.getvalue()
+
+
+@pytest.mark.parametrize("mode", ["fir", "exact", "pallas"])
+def test_simple_fm_file_modes(capture_file, mode):
+    from tpu_sdr.apps.simple_fm import main
+
+    rc, audio = _run_capture_stdout(main, ["--file", capture_file,
+                                           "--mode", mode])
+    assert rc == 0
+    assert len(audio) > 8000  # s16 samples emitted
+    pcm = np.frombuffer(audio, dtype="<i2").astype(np.float64)
+    snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=300)
+    # the exact integer chain (boxcar filters) scores lower on short
+    # captures with the startup transient included
+    floor = 18.0 if mode == "exact" else 25.0
+    assert snr >= floor, f"{mode}: {snr:.1f} dB"
+
+
+def test_rtl_fm_am_mode(tmp_path):
+    from tpu_sdr.apps.rtl_fm import main
+
+    n = 510 * 500
+    t = np.arange(n) / 1_020_000
+    bb = 0.45 * (1.0 + 0.8 * np.sin(2 * np.pi * 1_000.0 * t))
+    k = np.arange(n) % 4
+    off = np.choose(k, [1 + 0j, -1j, -1 + 0j, 1j])
+    sig = bb * off
+    iq = np.empty(2 * n)
+    iq[0::2], iq[1::2] = sig.real, sig.imag
+    path = tmp_path / "am.bin"
+    path.write_bytes(np.clip(np.round(iq * 127.0 + 127.5), 0, 255)
+                     .astype(np.uint8).tobytes())
+
+    rc, audio = _run_capture_stdout(main, ["-M", "am", "--file", str(path)])
+    assert rc == 0
+    pcm = np.frombuffer(audio, dtype="<i2").astype(np.float64)
+    snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=300)
+    assert snr >= 25.0, f"AM CLI: {snr:.1f} dB"
+
+
+def test_multi_fm_writes_station_files(tmp_path):
+    from tpu_sdr.apps.multi_fm import main
+
+    u8, _ = synth.synth_multistation_u8(
+        64 * 85 * 4 * 20, 64 * 170_000,
+        station_freqs=[3 * 170_000.0], audio_freqs=[1_000.0],
+        deviation=45_000.0)
+    path = tmp_path / "wb.bin"
+    path.write_bytes(bytes(u8))
+    out_dir = tmp_path / "out"
+    rc = main(["--file", str(path), "--channels", "3",
+               "--out-dir", str(out_dir)])
+    assert rc == 0
+    raw = (out_dir / "station_3.raw").read_bytes()
+    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=300)
+    assert snr >= 25.0, f"multi_fm: {snr:.1f} dB"
