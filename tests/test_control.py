@@ -328,3 +328,22 @@ def test_parse_scaled_units():
     assert parse_scaled("2048k") == 2_048_000
     assert parse_scaled("1.7G") == 1_700_000_000
     assert parse_scaled("170000") == 170_000
+
+
+def test_open_errors_and_context_manager():
+    """Negative paths of the public facade (ref open error semantics)."""
+    from tpu_sdr import api
+    from tpu_sdr.control import fake
+    from tpu_sdr.errors import DeviceNotFoundError
+
+    fake.clear_fake_devices()
+    fake.register_fake_device()
+    with pytest.raises(DeviceNotFoundError):
+        api.RtlSdr.open_with_index(5)
+    with pytest.raises(DeviceNotFoundError):
+        api.RtlSdr.open_with_serial("nope")
+    with pytest.raises(DeviceNotFoundError):
+        api.RtlSdr.open_with_fd(42)  # no wrapped system device
+    with api.RtlSdr.open_with_index(0) as sdr:  # context manager closes
+        assert sdr.get_tuner_id() == "r820t"
+    fake.clear_fake_devices()

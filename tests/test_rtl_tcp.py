@@ -105,3 +105,37 @@ def test_unknown_command_ignored(server):
     client.command(0x7F, 123)  # not a real opcode
     assert client.read_block(1024) is not None  # stream still alive
     client.close()
+
+
+def test_all_fourteen_opcodes_survive(server):
+    """Every protocol opcode 0x01-0x0e (ref rtl_tcp.rs:659-677) must be
+    accepted without killing the stream — including the reference's
+    logged no-ops (IfGain/AgcMode/OffsetTuning/Xtal)."""
+    client = RtlTcpClientSource("127.0.0.1", server.bound_port)
+    cmds = [
+        (0x01, 100_000_000),  # SetFrequency
+        (0x02, 2_048_000),    # SetSampleRate
+        (0x03, 1),            # SetGainMode manual
+        (0x04, 297),          # SetGain
+        (0x05, 10),           # SetFreqCorrection
+        (0x06, 0x0102),       # SetIfGain (no-op)
+        (0x07, 0),            # SetTestMode off
+        (0x08, 1),            # SetAgcMode (no-op)
+        (0x09, 0),            # SetDirectSampling off
+        (0x0A, 1),            # SetOffsetTuning (no-op)
+        (0x0B, 28_800_000),   # SetRtlXtal (no-op)
+        (0x0C, 28_800_000),   # SetTunerXtal (no-op)
+        (0x0D, 3),            # SetGainByIndex
+        (0x0E, 0),            # SetBiasTee off
+    ]
+    for op, param in cmds:
+        client.command(op, param)
+    for _ in range(4):
+        assert client.read_block(4096) is not None
+    deadline = time.time() + 3
+    while server.sdr.get_center_freq() != 100_000_000 and time.time() < deadline:
+        time.sleep(0.02)
+    assert server.sdr.get_center_freq() == 100_000_000
+    assert server.sdr.get_sample_rate() == 2_048_000
+    assert server.sdr.get_freq_correction() == 10
+    client.close()
