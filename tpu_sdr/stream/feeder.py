@@ -250,10 +250,15 @@ class BlockFeeder:
                 self._q.put(data, timeout=1.0)
             except queue.Full:
                 self._py_dropped += 1
-        try:
-            self._q.put_nowait(None)
-        except queue.Full:
-            pass
+        # The end-of-stream sentinel must not be lost to a momentarily-full
+        # queue (the consumer would block forever); keep trying until it
+        # lands or a stop is requested (stop() enqueues its own sentinel).
+        while not self._stop.is_set():
+            try:
+                self._q.put(None, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def blocks(self) -> Iterator[np.ndarray]:
         if self._ring is not None:
