@@ -49,3 +49,30 @@ def test_sharded_pallas_matches_serial(dp, sp):
     exp = _serial_reference(blocks)
     assert got.shape == exp.shape
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pallas_dma_halo_matches_ppermute():
+    """The remote-DMA halo (pallas_halo, forced + interpreted here) must
+    produce the same assembled audio as the ppermute halo on a 2-D mesh —
+    the dict/MESH device_id keeps the exchange within each dp row."""
+    dp, sp = 2, 2
+    stations = 2 * dp
+    n_complex = sp * CHUNK_C
+    rng = np.random.default_rng(3)
+    blocks = rng.integers(0, 256, (stations, 2 * n_complex), dtype=np.uint8)
+
+    mesh = mesh_mod.make_mesh(dp=dp, sp=sp)
+    config = wbfm.WbfmConfig(filter_mode="fir")
+    ref_chain = make_sharded_wbfm_pallas(mesh, config, interpret=True,
+                                         halo_impl="ppermute")
+    ref_audio, ref_counts = sharded_wbfm_pallas_apply(ref_chain, blocks)
+    exp = ref_chain.assemble(ref_audio, ref_counts)
+
+    try:
+        dma_chain = make_sharded_wbfm_pallas(mesh, config, interpret=True,
+                                             halo_impl="dma")
+        audio, counts = sharded_wbfm_pallas_apply(dma_chain, blocks)
+    except Exception as e:  # interpreter lacks distributed emulation
+        pytest.skip(f"pallas distributed interpret unavailable: {e}")
+    got = dma_chain.assemble(audio, counts)
+    np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-6)

@@ -14,8 +14,16 @@ receives its LEFT neighbor's tail — the overlap-save halo of streaming
 FIR/discriminator stages.  Shard 0 receives ``left_edge`` (the global
 streaming carry) or zeros.
 
-Falls back to the ppermute implementation when the platform cannot run the
-Mosaic kernel (CPU test meshes).
+The kernel addresses its neighbor with the dict/MESH ``device_id`` form
+(``{axis_name: my_id + 1}``), so it works on multi-axis meshes — other mesh
+axes implicitly keep their own index, making the exchange non-circular
+*within* each row of e.g. a (dp, sp) mesh.
+
+Falls back to the ppermute implementation when the mesh devices cannot run
+the Mosaic kernel (CPU test meshes).  Whether the mesh is TPU-backed must be
+decided by the *caller* from the actual mesh devices (``on_tpu=``) — the
+default backend is only a last-resort guess and is wrong for CPU fallback
+meshes created while a TPU backend is default.
 """
 
 from __future__ import annotations
@@ -49,8 +57,10 @@ def _halo_kernel(axis_name: str, tail_ref, out_ref, send_sem, recv_sem):
         dst_ref=out_ref,
         send_sem=send_sem,
         recv_sem=recv_sem,
-        device_id=my_id + 1,
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+        # Dict form: unnamed mesh axes keep their own index, so on a
+        # (dp, sp) mesh the shift stays within each dp row.
+        device_id={axis_name: my_id + 1},
+        device_id_type=pltpu.DeviceIdType.MESH,
     )
 
     @pl.when(my_id < n - 1)
@@ -89,13 +99,22 @@ def _pull_left_halo_remote_dma(x: jax.Array, halo: int, axis_name: str,
 
 def pull_left_halo_pallas(x: jax.Array, halo: int, axis_name: str,
                           left_edge: jax.Array | None = None,
+                          on_tpu: bool | None = None,
                           force: bool = False) -> jax.Array:
     """Left-neighbor tail via Pallas remote DMA (ppermute fallback off-TPU).
 
     Must be called inside ``shard_map`` over ``axis_name``.  Semantics match
     :func:`tpu_sdr.parallel.halo.pull_left_halo`.
+
+    ``on_tpu`` says whether the *mesh the caller shard_maps over* is made of
+    TPU devices; pass it explicitly (e.g. ``mesh.devices.flat[0].platform ==
+    'tpu'``).  When None, falls back to inspecting the default backend —
+    which can be wrong for CPU fallback meshes under a TPU-default process.
+    ``force=True`` runs the kernel even off-TPU (under the Pallas TPU
+    interpreter; used by tests).
     """
-    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu is None:
+        on_tpu = jax.default_backend() == "tpu"
     if not force and not on_tpu:
         return _halo.pull_left_halo(x, halo, axis_name, left_edge)
     n_shards = lax.axis_size(axis_name)

@@ -6,13 +6,21 @@ front-end (u8 unpack -> fs/4 rotate -> split-bf16 MXU FIR decimation ->
 discriminator) is the single fused Pallas kernel (ops/pallas_fm) instead of
 the XLA op chain.  The halos become the kernel's *initial carry state*:
 
-* FIR history: each shard decodes+rotates only its own trailing L-1
-  samples (a 128-sample tail, negligible) and ships them right via
-  ``ppermute``; they seed carry rows 0/1.
-* Discriminator previous sample: each shard computes just its own last
-  decimated output with one 72-tap dot on the tail and ships it right;
-  it seeds carry rows 2/3 (lane 127).  The global left edge is (1, 0),
-  matching the serial QuadState init.
+Each shard decodes+rotates only its own trailing samples (a 128-sample
+tail, negligible) and builds from them the full ``pallas_fm`` carry block
+it would hand a hypothetical next chunk — FIR history in rows 0/1, its own
+last decimated output (one 72-tap dot on the tail) in rows 2/3 lane 127.
+That *end-of-shard carry* is exactly what the RIGHT neighbor must start
+from, so the whole (stations, STATE_ROWS, 128) block ships right in ONE
+halo exchange and lands as the neighbor's initial kernel state.  Shard 0
+starts from the global streaming carry (zeros + discriminator prev (1, 0),
+matching the serial QuadState init).
+
+On a TPU mesh the exchange is the Pallas ``make_async_remote_copy``
+neighbor DMA (parallel/pallas_halo — the pod-scale form, SURVEY.md §5);
+on CPU test meshes it falls back to the ``lax.ppermute`` halo.  Which one
+runs is decided from the mesh's actual devices, not the process default
+backend (a TPU-default process can still build CPU fallback meshes).
 
 The audio resampler reuses ``wbfm_sharded.resample_shard`` (global-phase
 closed forms, left halos over ICI).
@@ -34,6 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu_sdr.models.wbfm import WbfmConfig, make_params
 from tpu_sdr.ops import pallas_fm
 from tpu_sdr.parallel.halo import pull_left_halo
+from tpu_sdr.parallel.pallas_halo import pull_left_halo_pallas
 from tpu_sdr.parallel.wbfm_sharded import ShardedWbfm, resample_shard
 
 _TAIL = 128  # decoded tail samples per shard (>= L-1 + decim + 1)
@@ -53,8 +62,16 @@ def _decode_rotate_tail(d16_tail: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
-                             interpret: bool | None = None) -> ShardedWbfm:
-    """Build the jitted Pallas-front-end sharded chain for ('dp','sp')."""
+                             interpret: bool | None = None,
+                             halo_impl: str = "auto") -> ShardedWbfm:
+    """Build the jitted Pallas-front-end sharded chain for ('dp','sp').
+
+    ``interpret``: run the fused kernel under the Pallas interpreter;
+    defaults to whether the mesh's devices are NOT TPUs (the default
+    backend is irrelevant — the mesh decides where the kernel runs).
+    ``halo_impl``: 'auto' (remote DMA on TPU meshes, ppermute otherwise),
+    'dma', or 'ppermute'.
+    """
     config = config or WbfmConfig(filter_mode="fir")
     assert config.filter_mode == "fir", "pallas front-end is FIR-mode only"
     params = make_params(config)
@@ -62,10 +79,15 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
     w_hi, w_lo, _v = pallas_fm.make_kernel_params(config)
     L = spec.num_taps
     Lm1 = L - 1
+    on_tpu = mesh.devices.flat[0].platform == "tpu"
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not on_tpu
+    assert halo_impl in ("auto", "dma", "ppermute"), halo_impl
+    use_dma = (on_tpu and not interpret) if halo_impl == "auto" else (
+        halo_impl == "dma")
 
     taps_rev = jnp.asarray(np.asarray(params.decim_taps)[::-1].copy())
+    ROWS = pallas_fm.STATE_ROWS
 
     def shard_fn(d16_loc):
         """d16_loc: int16 (stations_loc, n_loc) — one complex per element."""
@@ -74,29 +96,30 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
             f"local shard of {n_loc} complex samples must be a multiple of "
             f"the kernel chunk ({spec.chunk_complex})")
 
-        # --- halo seeds from each shard's decoded tail --------------------
+        # --- my end-of-shard kernel carry, from the decoded tail ----------
         rre_t, rim_t = _decode_rotate_tail(d16_loc[:, n_loc - _TAIL:])
-        fir_re = rre_t[:, _TAIL - Lm1:]              # (st, L-1), x255 scale
-        fir_im = rim_t[:, _TAIL - Lm1:]
         # my last decimated output: window X[m*d - (L-1) .. m*d] ends at
         # local index n_loc - decim, i.e. tail slice [-(L+decim-1+1) ...]
         w0 = _TAIL - spec.decim - Lm1
-        seg_re = rre_t[:, w0:w0 + L]
-        seg_im = rim_t[:, w0:w0 + L]
-        y_last_re = seg_re @ taps_rev / 255.0        # kernel-normalized
-        y_last_im = seg_im @ taps_rev / 255.0
+        end_state = jnp.zeros((st, ROWS, 128), jnp.float32)
+        end_state = end_state.at[:, 0, :Lm1].set(rre_t[:, _TAIL - Lm1:])
+        end_state = end_state.at[:, 1, :Lm1].set(rim_t[:, _TAIL - Lm1:])
+        end_state = end_state.at[:, 2, 127].set(
+            rre_t[:, w0:w0 + L] @ taps_rev / 255.0)   # kernel-normalized
+        end_state = end_state.at[:, 3, 127].set(
+            rim_t[:, w0:w0 + L] @ taps_rev / 255.0)
 
-        halo_fir_re = pull_left_halo(fir_re.T, Lm1, "sp").T
-        halo_fir_im = pull_left_halo(fir_im.T, Lm1, "sp").T
-        prev_re = pull_left_halo(y_last_re[None, :], 1, "sp",
-                                 left_edge=jnp.ones((1, st), jnp.float32))[0]
-        prev_im = pull_left_halo(y_last_im[None, :], 1, "sp")[0]
-
-        states = jnp.zeros((st, pallas_fm.STATE_ROWS, 128), jnp.float32)
-        states = states.at[:, 0, :Lm1].set(halo_fir_re)
-        states = states.at[:, 1, :Lm1].set(halo_fir_im)
-        states = states.at[:, 2, 127].set(prev_re)
-        states = states.at[:, 3, 127].set(prev_im)
+        # --- one halo exchange ships the whole carry block right ----------
+        # Global left edge: zero history, discriminator prev = 1 + 0j.
+        edge = jnp.zeros((st, ROWS, 128), jnp.float32).at[:, 2, 127].set(1.0)
+        flat = end_state.reshape(-1)
+        if use_dma:
+            recv = pull_left_halo_pallas(flat, flat.shape[0], "sp",
+                                         edge.reshape(-1), on_tpu=on_tpu,
+                                         force=not on_tpu)
+        else:
+            recv = pull_left_halo(flat, flat.shape[0], "sp", edge.reshape(-1))
+        states = recv.reshape(st, ROWS, 128)
 
         # --- fused kernel over the whole local shard -----------------------
         data = d16_loc.reshape(st, n_loc // spec.chunk_complex, spec.rows,
