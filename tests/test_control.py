@@ -343,7 +343,37 @@ def test_open_errors_and_context_manager():
     with pytest.raises(DeviceNotFoundError):
         api.RtlSdr.open_with_serial("nope")
     with pytest.raises(DeviceNotFoundError):
-        api.RtlSdr.open_with_fd(42)  # no wrapped system device
+        api.RtlSdr.open_with_fd(10**6)  # not an open fd
     with api.RtlSdr.open_with_index(0) as sdr:  # context manager closes
         assert sdr.get_tuner_id() == "r820t"
     fake.clear_fake_devices()
+
+
+def test_open_fd_reaches_libusb_wrap():
+    """DeviceId.fd routes to libusb_wrap_sys_device (ref
+    device_handle.rs:96-121): a non-USB fd (a pipe) must be REJECTED BY
+    LIBUSB — the error carries libusb's code, proving the wrap was
+    attempted rather than short-circuited."""
+    import os
+
+    from tpu_sdr import api
+    from tpu_sdr.control.usb import LibusbBackend, _Libusb
+    from tpu_sdr.errors import DeviceNotFoundError, UsbError
+
+    try:
+        usb = _Libusb.get()
+    except (OSError, UsbError):
+        pytest.skip("libusb-1.0 not loadable here")
+    if not usb.has_wrap:
+        pytest.skip("libusb < 1.0.23: no wrap_sys_device")
+
+    r, w = os.pipe()
+    try:
+        with pytest.raises(UsbError, match="wrap_sys_device"):
+            LibusbBackend.open_fd(r)
+        # and through the public facade it surfaces as DeviceNotFound
+        with pytest.raises(DeviceNotFoundError, match="Cannot open fd"):
+            api.RtlSdr.open(api.DeviceId.fd(r))
+    finally:
+        os.close(r)
+        os.close(w)

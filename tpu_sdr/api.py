@@ -19,7 +19,7 @@ from tpu_sdr.control import fake as fake_mod
 from tpu_sdr.control import rtlsdr as core_mod
 from tpu_sdr.control.transport import Device
 from tpu_sdr.control.usb import DeviceDescriptor, LibusbBackend, real_hardware_enabled
-from tpu_sdr.errors import DeviceNotFoundError, RtlSdrError
+from tpu_sdr.errors import DeviceNotFoundError, RtlSdrError, UsbError
 
 
 class TunerId:
@@ -153,11 +153,16 @@ def _open_backend(device_id: DeviceId):
             return LibusbBackend.open_serial(serial)
         raise DeviceNotFoundError(f"No device found with serial {serial}")
     if device_id.kind == "fd":
-        # File-descriptor open (Android-style; ref device_handle.rs:96-121)
-        # requires a real libusb wrap; not available for fakes.
-        raise DeviceNotFoundError(
-            f"Cannot open fd {device_id.value}: no wrapped system device"
-        )
+        # File-descriptor open (Android-style; ref device_handle.rs:96-121):
+        # wrap an already-open kernel device node via libusb_wrap_sys_device.
+        # Always routed to libusb — the caller already holds an open device,
+        # so the TPU_SDR_USE_LIBUSB scan opt-in doesn't apply, and fakes
+        # have no system fd.
+        try:
+            return LibusbBackend.open_fd(int(device_id.value))
+        except (OSError, UsbError) as e:
+            raise DeviceNotFoundError(
+                f"Cannot open fd {device_id.value}: {e}") from e
     raise RtlSdrError(f"Unknown DeviceId kind {device_id.kind}")
 
 

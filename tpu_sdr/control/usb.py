@@ -90,6 +90,15 @@ class _Libusb:
             ctypes.POINTER(ctypes.c_int), ctypes.c_uint]
         lib.libusb_get_string_descriptor_ascii.argtypes = [
             ctypes.c_void_p, ctypes.c_uint8, ctypes.c_char_p, ctypes.c_int]
+        try:  # libusb >= 1.0.23 (Android/fd support)
+            lib.libusb_wrap_sys_device.argtypes = [
+                ctypes.c_void_p, ctypes.c_ssize_t,  # intptr_t fd
+                ctypes.POINTER(ctypes.c_void_p)]
+            lib.libusb_get_device.argtypes = [ctypes.c_void_p]
+            lib.libusb_get_device.restype = ctypes.c_void_p
+            self.has_wrap = True
+        except AttributeError:
+            self.has_wrap = False
         self.ctx = ctypes.c_void_p()
         rc = lib.libusb_init(ctypes.byref(self.ctx))
         if rc != _LIBUSB_SUCCESS:
@@ -200,6 +209,28 @@ class LibusbBackend:
                 return cls(handle, desc)
             usb.lib.libusb_close(handle)
         raise DeviceNotFoundError(f"No device found with serial {serial}")
+
+    @classmethod
+    def open_fd(cls, fd: int) -> "LibusbBackend":
+        """Wrap an already-open kernel device node (Android-style open;
+        ref device_handle.rs:96-121 — ``libusb_wrap_sys_device``).
+
+        The caller owns the fd and already passed the OS permission check,
+        so no VID/PID filtering happens here (the fd IS the device) — same
+        contract as the reference, which wraps whatever fd it is handed.
+        """
+        usb = _Libusb.get()
+        if not usb.has_wrap:
+            raise UsbError(
+                "libusb_wrap_sys_device unavailable (libusb < 1.0.23)", -12)
+        handle = ctypes.c_void_p()
+        rc = usb.lib.libusb_wrap_sys_device(usb.ctx, fd, ctypes.byref(handle))
+        if rc != _LIBUSB_SUCCESS:
+            raise UsbError(f"libusb_wrap_sys_device failed: {rc}", rc)
+        dev = usb.lib.libusb_get_device(handle)
+        desc = _DeviceDescriptorStruct()
+        usb.lib.libusb_get_device_descriptor(dev, ctypes.byref(desc))
+        return cls(handle, desc)
 
     # -- transfers ---------------------------------------------------------
 
