@@ -103,3 +103,31 @@ def test_multimode_streamer_roundtrip(tmp_path):
     load_stream_state(ckpt, resumed)
     out2 = resumed.demodulate(u8[70_003:])
     np.testing.assert_array_equal(np.concatenate([out1, out2]), full)
+
+
+def test_checkpoint_detects_structure_drift(tmp_path):
+    """A checkpoint whose captured attribute set or leaf structure no
+    longer matches the live streamer must fail loudly, not silently skip
+    state (round-trip completeness guard)."""
+    import numpy as np
+    import pytest
+
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.stream import checkpoint as C
+
+    s = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir"))
+    s.demodulate(np.zeros(510 * 8, np.uint8))
+    path = str(tmp_path / "st.npz")
+    C.save_stream_state(path, s)
+
+    # leaf-structure drift: different config flattens to other leaf shapes
+    other = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir",
+                                              fir_taps_per_phase=8))
+    with pytest.raises(ValueError, match="shape|leaves"):
+        C.load_stream_state(path, other)
+
+    # attribute-set drift: live streamer grows a new carry attr
+    fresh = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir"))
+    fresh.phases = np.zeros(3)  # name in _STATE_ATTRS, absent at save time
+    with pytest.raises(ValueError, match="attrs"):
+        C.load_stream_state(path, fresh)

@@ -93,3 +93,29 @@ def test_multi_fm_writes_station_files(tmp_path):
     pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=300)
     assert snr >= 25.0, f"multi_fm: {snr:.1f} dB"
+
+
+def test_rtl_fm_rds_prints_station_text(tmp_path, capsys):
+    """rtl_fm --rds decodes PI/PS from a synthesized RDS multiplex and
+    prints them to stderr while audio still flows to stdout."""
+    from tpu_sdr.apps.rtl_fm import main
+    from tpu_sdr.models import rds as R
+
+    pi, ps = 0xBEEF, "TPURADIO"
+    groups = [R.make_group_0a(pi, 4, seg, ps[2 * seg: 2 * seg + 2])
+              for seg in range(4)]
+    bits = np.concatenate([np.concatenate(groups)] * 5)
+    n = int(np.ceil((len(bits) + 8) / 1187.5 * 1_020_000))
+    n -= n % (6 * 85)
+    u8, _, _ = synth.synth_wbfm_stereo_u8(n, capture_rate=1_020_000,
+                                          rds_bits=bits)
+    path = tmp_path / "rds.bin"
+    path.write_bytes(bytes(u8))
+
+    rc, audio = _run_capture_stdout(
+        main, ["--file", str(path), "--rds"])
+    assert rc == 0
+    assert len(audio) > 1000
+    err = capsys.readouterr().err
+    assert f"[rds] PI: {pi:04X}" in err
+    assert f"[rds] PS: '{ps}'" in err

@@ -120,3 +120,76 @@ def test_rds_group_sync_end_to_end():
     start = [tuple(w) for w in words].index(first)
     for i, g in enumerate(groups[: len(words) - start]):
         assert g == tuple(words[start + i])
+
+
+def _groups_bits(groups: list[np.ndarray], repeats: int = 3) -> np.ndarray:
+    one = np.concatenate(groups)
+    return np.concatenate([one] * repeats)
+
+
+def _ps_rt_bits(pi=0xF201, ps="TPU SDR!", rt="HELLO FROM TPU_SDR\r",
+                repeats=3) -> np.ndarray:
+    rt = rt + " " * (-len(rt) % 4)
+    groups = [R.make_group_0a(pi, 9, seg, ps[2 * seg: 2 * seg + 2])
+              for seg in range(4)]
+    groups += [R.make_group_2a(pi, 9, seg, rt[4 * seg: 4 * seg + 4])
+               for seg in range(len(rt) // 4)]
+    return _groups_bits(groups, repeats)
+
+
+def test_rds_stream_decoder_text():
+    """Full streaming receiver on a synthesized multiplex: pilot lock,
+    one-shot bit-phase search, flywheel group sync, PS and RadioText
+    assembly — fed in irregular chunks like a live discriminator."""
+    bits = _ps_rt_bits()
+    mpx, _ = _synth_mpx(len(bits), bits=bits)
+
+    rx = R.RdsStreamDecoder()
+    events = []
+    pos, sizes = 0, [7000, 12345, 30000]
+    i = 0
+    while pos < len(mpx):
+        n = sizes[i % len(sizes)]
+        events += rx.feed_mpx(mpx[pos:pos + n])
+        pos += n
+        i += 1
+    assert rx.locked
+    assert rx.text.pi == 0xF201
+    assert rx.text.pty == 9
+    assert rx.text.ps == "TPU SDR!"
+    assert rx.text.rt == "HELLO FROM TPU_SDR"
+    assert any(e.startswith("PS:") for e in events)
+    assert any(e.startswith("RT:") for e in events)
+    assert rx.sync.groups_ok >= 10
+
+
+def test_rds_stream_decoder_requires_pilot():
+    """No pilot -> no lock, no events (the squelch path)."""
+    t = np.arange(85 * 3000) / FS
+    mpx = (0.4 * np.sin(2 * np.pi * 1_000.0 * t)).astype(np.float32)
+    rx = R.RdsStreamDecoder()
+    assert rx.feed_mpx(mpx) == []
+    assert not rx.locked
+
+
+def test_group_synchronizer_flywheel():
+    """A corrupted block drops only its group; a bit slip forces
+    re-acquisition and sync returns."""
+    words = [(0x1111 + g, 0x2000 + g, 0x3000 + g, 0x4000 + g)
+             for g in range(12)]
+    bits = np.concatenate([R.make_group(w) for w in words])
+    bits = np.concatenate([np.ones(15, np.uint8), bits])  # offset the start
+    bits[15 + 104 * 3 + 40] ^= 1          # corrupt group 3
+    slip_at = 15 + 104 * 6                # delete a bit before group 6
+    bits = np.concatenate([bits[:slip_at], bits[slip_at + 1:]])
+
+    sync = R.GroupSynchronizer(max_bad_groups=2)
+    got = []
+    for chunk in np.array_split(bits, 9):
+        got += sync.feed(chunk)
+    assert tuple(words[0]) in got and tuple(words[2]) in got
+    assert tuple(words[3]) not in got     # corrupted group dropped
+    # the slip costs max_bad_groups misaligned groups plus the one the
+    # re-search lands inside; everything after that must decode again
+    late = [w for w in words[9:] if tuple(w) in got]
+    assert len(late) == 3, f"flywheel failed to re-acquire: {got}"

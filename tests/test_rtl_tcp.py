@@ -132,10 +132,113 @@ def test_all_fourteen_opcodes_survive(server):
         client.command(op, param)
     for _ in range(4):
         assert client.read_block(4096) is not None
+    # commands apply on their own thread: wait for one that CHANGES state
+    # (center_freq already equals the target, so it cannot be the barrier)
     deadline = time.time() + 3
-    while server.sdr.get_center_freq() != 100_000_000 and time.time() < deadline:
+    while server.sdr.get_freq_correction() != 10 and time.time() < deadline:
         time.sleep(0.02)
     assert server.sdr.get_center_freq() == 100_000_000
     assert server.sdr.get_sample_rate() == 2_048_000
     assert server.sdr.get_freq_correction() == 10
     client.close()
+
+
+@pytest.fixture()
+def fanout_server():
+    fake.clear_fake_devices()
+    fake.register_fake_device()
+    sdr = api.RtlSdr.open_with_index(0)
+    sdr.set_sample_rate(2_048_000)
+    sdr.reset_buffer()
+    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=8, max_clients=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while srv.bound_port is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert srv.bound_port is not None
+    yield srv
+    srv.stop()
+    t.join(timeout=5)
+    sdr.close()
+    fake.clear_fake_devices()
+
+
+def _counter_continuous(data: bytes) -> bool:
+    return all(data[i + 1] == (data[i] + 1) % 256 for i in range(0, 512))
+
+
+def test_fanout_two_clients_full_stream(fanout_server):
+    """Both concurrent clients receive the complete continuous stream from
+    the single acquisition loop."""
+    a = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    b = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    assert a.tuner_type == 5 and b.tuner_type == 5
+    a.set_test_mode(True)  # either client may command the shared device
+    time.sleep(0.3)
+    for client in (a, b):
+        data = client.read_block(262144)
+        assert len(data) == 262144
+        assert _counter_continuous(bytes(data)), "gap in fanned-out stream"
+    a.close()
+    b.close()
+
+
+def test_fanout_backpressure_isolated(fanout_server):
+    """A stalled client fills only its own queue; its peer keeps reading a
+    continuous stream and the stall is charged to the right session."""
+    slow = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    fast = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    fast.set_test_mode(True)
+    # never read from `slow`: its 8-block queue must overflow
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with fanout_server._sessions_lock:
+            drops = [s.drops for s in fanout_server._sessions]
+        if any(d > 3 for d in drops):
+            break
+        data = fast.read_block(262144)
+        assert _counter_continuous(bytes(data)), "fast client saw a gap"
+    assert any(d > 3 for d in drops), f"no drops recorded: {drops}"
+    slow.close()
+    fast.close()
+
+
+def test_fanout_refuses_extra_client(fanout_server):
+    """A third connection beyond max_clients is closed, not served."""
+    a = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    b = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    extra = socket.create_connection(("127.0.0.1",
+                                      fanout_server.bound_port), timeout=3)
+    extra.settimeout(3)
+    got = b""
+    try:
+        while len(got) < 12:
+            chunk = extra.recv(12 - len(got))
+            if not chunk:
+                break
+            got += chunk
+    except socket.timeout:
+        pass
+    assert len(got) < 12, "server handshook a client beyond max_clients"
+    extra.close()
+    a.close()
+    b.close()
+
+
+def test_fanout_client_leaves_and_slot_reopens(fanout_server):
+    """Closing a client frees its slot for a new connection."""
+    a = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    b = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    b.close()
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        with fanout_server._sessions_lock:
+            if len(fanout_server._sessions) <= 1:
+                break
+        time.sleep(0.05)
+    c = RtlTcpClientSource("127.0.0.1", fanout_server.bound_port)
+    assert c.tuner_type == 5
+    assert len(c.read_block(4096)) == 4096
+    a.close()
+    c.close()

@@ -8,7 +8,9 @@ this app restores the classic multi-mode surface on the TPU data plane:
     -M am     envelope detection
     -M usb/-M lsb  single sideband (3 kHz audio)
 
-s16-LE mono audio on stdout, like the original.
+s16-LE mono audio on stdout, like the original.  ``--rds`` (wbfm only)
+runs the Radio Data System receiver on the multiplex tap alongside the
+audio and prints decoded PI/PS/RadioText lines to stderr.
 
 Example: python -m tpu_sdr.apps.rtl_fm -M am --file capture.bin > audio.raw
 """
@@ -27,11 +29,12 @@ from tpu_sdr.utils.units import parse_scaled
 log = logging.getLogger("rtl_fm")
 
 
-def make_streamer(mode: str):
+def make_streamer(mode: str, rds: bool = False):
     if mode == "wbfm":
         from tpu_sdr.models import wbfm
 
-        return wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir"))
+        return wbfm.WbfmStreamer(
+            wbfm.WbfmConfig(filter_mode="fir", emit_mpx=rds))
     from tpu_sdr.models import multimode as MM
 
     mm = {"fm": "nbfm", "am": "am", "usb": "usb", "lsb": "lsb"}[mode]
@@ -47,16 +50,29 @@ def main(argv=None) -> int:
                    default=94_900_000)
     p.add_argument("--file", help="raw u8 I/Q capture (else open a device)")
     p.add_argument("-d", dest="device", type=int, default=0)
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS from the multiplex (wbfm only); "
+                        "PI/PS/RadioText lines go to stderr")
     args = p.parse_args(argv)
+    if args.rds and args.mode != "wbfm":
+        p.error("--rds requires -M wbfm (RDS rides the FM multiplex)")
 
     from tpu_sdr.native import f32_to_s16
 
-    streamer = make_streamer(args.mode)
-    log.info("Demodulating %s", args.mode)
+    streamer = make_streamer(args.mode, rds=args.rds)
+    rds_rx = None
+    if args.rds:
+        from tpu_sdr.models import rds as rds_mod
+
+        rds_rx = rds_mod.RdsStreamDecoder()
+    log.info("Demodulating %s%s", args.mode, " + RDS" if args.rds else "")
 
     def emit(buf: np.ndarray) -> None:
         audio = streamer.demodulate(buf)
         sys.stdout.buffer.write(f32_to_s16(audio).tobytes())
+        if rds_rx is not None and streamer.last_mpx is not None:
+            for event in rds_rx.feed_mpx(streamer.last_mpx):
+                print(f"[rds] {event}", file=sys.stderr, flush=True)
 
     if args.file:
         with open(args.file, "rb") as f:

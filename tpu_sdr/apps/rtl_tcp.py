@@ -4,7 +4,9 @@ Mirrors /root/reference/examples/rtl_tcp.rs's flags (rtl_tcp.rs:134-289):
 ``-a`` address, ``-p`` port, ``-f`` frequency, ``-g`` gain, ``-s`` sample
 rate (k/M/G suffixes), ``-b`` buffer count (accepted, unused — parity with
 rtl_tcp.rs:244), ``-n`` queue limit, ``-d`` device index, ``-P`` ppm,
-``-T`` bias tee, ``-D`` direct sampling.
+``-T`` bias tee, ``-D`` direct sampling.  Beyond the reference:
+``--max-clients N`` serves N concurrent clients from one acquisition loop
+with per-client backpressure isolation.
 """
 
 from __future__ import annotations
@@ -62,6 +64,9 @@ def main(argv=None) -> int:
     p.add_argument("-P", dest="ppm", type=int, default=0)
     p.add_argument("-T", dest="bias_tee", action="store_true")
     p.add_argument("-D", dest="direct_sampling", action="store_true")
+    p.add_argument("--max-clients", dest="max_clients", type=int, default=1,
+                   help="concurrent clients served by one acquisition loop "
+                        "(default 1 = reference behavior)")
     args = p.parse_args(argv)
     if args.gain is not None:
         args.gain = int(round(args.gain * 10))
@@ -73,7 +78,8 @@ def main(argv=None) -> int:
         return 1
 
     server = RtlTcpServer(sdr, args.address, args.port,
-                          queue_limit=args.queue_limit, default_gain=args.gain)
+                          queue_limit=args.queue_limit, default_gain=args.gain,
+                          max_clients=args.max_clients)
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -6,8 +6,11 @@ suppressed-carrier BPSK subcarrier is coherently detected with a carrier
 derived from the 19 kHz pilot (RDS locks its carrier and its 1187.5 bps
 clock to the pilot: 57k = 3 x 19k, 1187.5 = 19k/16), matched-filtered
 against the biphase pulse pair, and differentially decoded to the bit
-stream.  Group/block synchronization (offset words A-D) is left to a host
-parser (NEXT.md).
+stream.  The group/block layer lives in this module too: checkword
+validation and offset-word sync (:func:`sync_and_parse`, streaming
+flywheel in :class:`GroupSynchronizer`) and PS/RadioText assembly
+(:class:`RdsText`); :class:`RdsStreamDecoder` ties the whole receiver
+together for the CLIs (``rtl_fm --rds``).
 
 Chain (all tpu_sdr.ops.fm building blocks, banded-MXU filters):
 
@@ -107,9 +110,13 @@ def _fir1(x, W, num_taps, state):
 @partial(jax.jit, static_argnames=("config",))
 def baseband_block(y: jax.Array, state: RdsState, params: RdsParams,
                    config: RdsConfig):
-    """Multiplex block (mpx_rate) -> RDS baseband at 152 kHz + new state.
+    """Multiplex block (mpx_rate) -> (RDS baseband at 152 kHz, pilot
+    amplitude estimate, new state).
 
-    Input length must be a multiple of resample_down (85).
+    Input length must be a multiple of resample_down (85).  The pilot
+    amplitude (RMS*sqrt(2) of the 19 kHz arm) doubles as the lock/squelch
+    signal: without a pilot there is no carrier to derive, so the product
+    detector output is noise.
     """
     tp, ts, tl = params.taps
     p, bpf_p = _fir1(y, params.W_p, tp, state.bpf_p)
@@ -121,7 +128,7 @@ def baseband_block(y: jax.Array, state: RdsState, params: RdsParams,
     b, lpf = _fir1(prod, params.W_lp, tl, state.lpf)
     b152, rs = F.aligned_resample(b, params.resamp_V, config.resample_up,
                                   config.resample_down, state.resamp)
-    return b152, RdsState(bpf_p, bpf_s, lpf, rs)
+    return b152, amp, RdsState(bpf_p, bpf_s, lpf, rs)
 
 
 def soft_bits(b152: np.ndarray, phase: int) -> np.ndarray:
@@ -160,6 +167,7 @@ class RdsReceiver:
         self.params = make_params(self.config)
         self.state = init_state(self.config)
         self._pending = np.zeros(0, np.float32)
+        self.pilot_amp = 0.0  # last block's 19 kHz pilot amplitude estimate
 
     def process(self, mpx: np.ndarray) -> np.ndarray:
         """Multiplex samples in -> 152 kHz RDS baseband out (stream-safe)."""
@@ -169,8 +177,9 @@ class RdsReceiver:
         self._pending = data[usable:]
         if usable == 0:
             return np.zeros(0, np.float32)
-        b152, self.state = baseband_block(
+        b152, amp, self.state = baseband_block(
             jnp.asarray(data[:usable]), self.state, self.params, self.config)
+        self.pilot_amp = float(amp)
         return np.asarray(b152)
 
 
@@ -267,3 +276,222 @@ def sync_and_parse(bits: np.ndarray, max_groups: int = 64):
             pos += 104
         return groups
     return []
+
+
+# ---------------------------------------------------------------------------
+# Streaming receiver: lock -> bits -> flywheel group sync -> PS/RT text
+# ---------------------------------------------------------------------------
+
+
+class GroupSynchronizer:
+    """Streaming block/group synchronizer with flywheel behavior.
+
+    Feed differentially-decoded bits in any chunking; groups whose four
+    blocks all pass their checkwords come out.  While synced, a bad block
+    drops only its group; ``max_bad_groups`` consecutive failures force a
+    full re-search (the classic flywheel, which a one-shot
+    :func:`sync_and_parse` cannot provide on an unbounded stream).
+    """
+
+    def __init__(self, max_bad_groups: int = 4):
+        self._bits = np.zeros(0, np.uint8)
+        self._max_bad = max_bad_groups
+        self.synced = False
+        self._bad_run = 0
+        self.groups_ok = 0
+        self.groups_bad = 0
+
+    @staticmethod
+    def _group_at(bits: np.ndarray, pos: int):
+        """Validate 104 bits at pos; return the 4 info words or None."""
+        words = []
+        for blk, want in enumerate(("A", "B", None, "D")):
+            w26 = bits[pos + 26 * blk: pos + 26 * (blk + 1)]
+            got = _block_offset(w26)
+            if (got not in ("C", "C'")) if want is None else (got != want):
+                return None
+            info = 0
+            for b in w26[:16]:
+                info = (info << 1) | int(b)
+            words.append(info)
+        return tuple(words)
+
+    def feed(self, bits: np.ndarray) -> list[tuple[int, int, int, int]]:
+        self._bits = np.concatenate(
+            [self._bits, np.asarray(bits, np.uint8)])
+        out: list[tuple[int, int, int, int]] = []
+        while True:
+            if not self.synced:
+                # search every alignment for one full valid group
+                found = None
+                for start in range(len(self._bits) - 103):
+                    g = self._group_at(self._bits, start)
+                    if g is not None:
+                        found = start
+                        break
+                if found is None:
+                    # keep one group's worth of tail for the next search
+                    if len(self._bits) > 104:
+                        self._bits = self._bits[len(self._bits) - 104:]
+                    return out
+                self._bits = self._bits[found:]
+                self.synced = True
+                self._bad_run = 0
+            if len(self._bits) < 104:
+                return out
+            g = self._group_at(self._bits, 0)
+            self._bits = self._bits[104:]
+            if g is not None:
+                out.append(g)
+                self.groups_ok += 1
+                self._bad_run = 0
+            else:
+                self.groups_bad += 1
+                self._bad_run += 1
+                if self._bad_run >= self._max_bad:
+                    self.synced = False  # bit slip — re-acquire
+
+
+PTY_NONE = 0
+
+
+class RdsText:
+    """Assemble program service name (PS) and RadioText (RT) from groups.
+
+    Group type 0 (A/B) carries PS two chars per group in word D, segment in
+    the low 2 bits of word B; type 2A carries RT four chars per group in
+    words C+D (2B: two chars in D), segment in the low 4 bits of B, with a
+    text A/B toggle that clears the buffer on change.
+    """
+
+    def __init__(self):
+        self.pi: int | None = None
+        self.pty: int = PTY_NONE
+        self._ps = [None] * 8
+        self._rt = [None] * 64
+        self._rt_flag: int | None = None
+        self.ps: str | None = None   # last completed PS
+        self.rt: str | None = None   # last completed (or grown) RT
+
+    @staticmethod
+    def _chars(word: int) -> list[str]:
+        return [chr((word >> 8) & 0xFF), chr(word & 0xFF)]
+
+    def update(self, group: tuple[int, int, int, int]) -> list[str]:
+        """Apply one validated group; return human-readable news."""
+        a, b, c, d = group
+        events: list[str] = []
+        if self.pi != a:
+            self.pi = a
+            events.append(f"PI: {a:04X}")
+        pty = (b >> 5) & 0x1F
+        if pty != self.pty:
+            self.pty = pty
+            events.append(f"PTY: {pty}")
+        gtype, version_b = b >> 12, (b >> 11) & 1
+        if gtype == 0:
+            seg = b & 0x3
+            self._ps[2 * seg: 2 * seg + 2] = self._chars(d)
+            if None not in self._ps:
+                ps = "".join(self._ps)
+                if ps != self.ps:
+                    self.ps = ps
+                    events.append(f"PS: {ps!r}")
+        elif gtype == 2:
+            flag = (b >> 4) & 1
+            if self._rt_flag is not None and flag != self._rt_flag:
+                self._rt = [None] * 64  # text changed — restart assembly
+            self._rt_flag = flag
+            seg = b & 0xF
+            if version_b:
+                self._rt[2 * seg: 2 * seg + 2] = self._chars(d)
+            else:
+                self._rt[4 * seg: 4 * seg + 4] = (self._chars(c)
+                                                  + self._chars(d))
+            filled = [ch for ch in self._rt if ch is not None]
+            text = "".join(ch if ch is not None else " " for ch in self._rt)
+            # RT terminates at 0x0D; report once a terminator (or the full
+            # 64 chars) is assembled and the text grew/changed
+            if "\r" in filled or len(filled) == 64:
+                rt = text.split("\r")[0].rstrip()
+                if rt and rt != self.rt:
+                    self.rt = rt
+                    events.append(f"RT: {rt!r}")
+        return events
+
+
+class RdsStreamDecoder:
+    """The full streaming RDS receiver: multiplex blocks in, text out.
+
+    Locking: waits for the 19 kHz pilot (``pilot_amp`` over threshold) and
+    ``lock_bits`` worth of baseband, runs the :func:`best_bit_phase` eye
+    search ONCE, then free-runs: half-symbol integrate-and-dump on the
+    locked phase with partial-frame and differential carries across calls,
+    flywheel group sync, PS/RT assembly.
+    """
+
+    def __init__(self, config: RdsConfig | None = None,
+                 lock_bits: int = 104, pilot_threshold: float = 0.02):
+        self.rx = RdsReceiver(config)
+        self.lock_bits = lock_bits
+        self.pilot_threshold = pilot_threshold
+        self.phase: int | None = None
+        self._bb = np.zeros(0, np.float32)   # baseband awaiting lock/frames
+        self._prev_raw: int | None = None    # differential-decode carry
+        self.sync = GroupSynchronizer()
+        self.text = RdsText()
+
+    @property
+    def locked(self) -> bool:
+        return self.phase is not None
+
+    def feed_mpx(self, mpx: np.ndarray) -> list[str]:
+        """FM multiplex samples (discriminator output) in -> text events."""
+        self._bb = np.concatenate([self._bb, self.rx.process(mpx)])
+        if not self.locked:
+            if self.rx.pilot_amp < self.pilot_threshold:
+                # no pilot, no carrier: drop stale baseband, stay unlocked
+                self._bb = self._bb[-SAMPLES_PER_BIT:]
+                return []
+            if len(self._bb) < self.lock_bits * SAMPLES_PER_BIT:
+                return []
+            self.phase = best_bit_phase(self._bb)
+            self._bb = self._bb[self.phase:]
+        nbits = len(self._bb) // SAMPLES_PER_BIT
+        if nbits == 0:
+            return []
+        frames = self._bb[: nbits * SAMPLES_PER_BIT].reshape(
+            nbits, SAMPLES_PER_BIT)
+        self._bb = self._bb[nbits * SAMPLES_PER_BIT:]
+        h = SAMPLES_PER_BIT // 2
+        raw = (frames[:, :h].sum(axis=1) - frames[:, h:].sum(axis=1)
+               > 0).astype(np.uint8)
+        if self._prev_raw is None:
+            bits = raw[1:] ^ raw[:-1]
+        else:
+            bits = np.concatenate([[raw[0] ^ self._prev_raw],
+                                   raw[1:] ^ raw[:-1]]).astype(np.uint8)
+        self._prev_raw = int(raw[-1])
+        events: list[str] = []
+        for group in self.sync.feed(bits):
+            events.extend(self.text.update(group))
+        return events
+
+
+def make_group_0a(pi: int, pty: int, segment: int, ps_pair: str,
+                  af: int = 0xE0E0) -> np.ndarray:
+    """Encode one type-0A group carrying two PS characters (test/signal
+    generator helper — the inverse of what :class:`RdsText` consumes)."""
+    b = (0 << 12) | ((pty & 0x1F) << 5) | (segment & 0x3)
+    d = (ord(ps_pair[0]) << 8) | ord(ps_pair[1])
+    return make_group((pi, b, af, d))
+
+
+def make_group_2a(pi: int, pty: int, segment: int, rt_quad: str,
+                  text_flag: int = 0) -> np.ndarray:
+    """Encode one type-2A group carrying four RadioText characters."""
+    b = (2 << 12) | ((pty & 0x1F) << 5) | ((text_flag & 1) << 4) | (
+        segment & 0xF)
+    c = (ord(rt_quad[0]) << 8) | ord(rt_quad[1])
+    d = (ord(rt_quad[2]) << 8) | ord(rt_quad[3])
+    return make_group((pi, b, c, d))

@@ -54,6 +54,9 @@ class WbfmConfig:
     resample_taps_per_phase: int = 48
     resample_cutoff_frac: float = 0.8
     deemphasis_tau: float = 0.0  # seconds; 0 disables (reference has none)
+    # Also return the 170 kHz multiplex (discriminator output) from each
+    # block — the tap the RDS/stereo subcarrier decoders consume.
+    emit_mpx: bool = False
     # "split_bf16": decimator matmuls in split-precision bfloat16 (the u8
     #   samples x255 are exact 9-bit integers, hence exact in bf16; taps are
     #   carried as a hi+lo bf16 pair for ~16-bit weight precision) — ~2x the
@@ -140,7 +143,8 @@ def _resamp_T(config: WbfmConfig) -> int:
 @partial(jax.jit, static_argnames=("config",))
 def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
                      config: WbfmConfig):
-    """One u8 I/Q block -> (audio_padded f32, count, new_state).
+    """One u8 I/Q block -> (audio_padded f32, count, new_state); with
+    ``config.emit_mpx`` -> (audio_padded, count, mpx, new_state).
 
     Block byte length must satisfy ``len % (2*decim) == 0``.
     """
@@ -157,6 +161,7 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
             W_split=params.decim_W_split,
         )
         y, quad = F.quadrature_demod(re, im, state.quad)
+    mpx = y  # pre-de-emphasis: the subcarriers must not be rolled off
     if config.deemphasis_tau > 0:
         alpha = F.deemph_alpha(config.rate_out, config.deemphasis_tau)
         y, deemph = F.deemphasis(y, alpha, state.deemph)
@@ -196,7 +201,10 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
                 y, params.resamp_poly, up, down, state.resamp
             )
         box_resamp = state.box_resamp
-    return audio, count, WbfmState(rot, fir, quad, resamp, box_resamp, deemph)
+    new_state = WbfmState(rot, fir, quad, resamp, box_resamp, deemph)
+    if config.emit_mpx:
+        return audio, count, mpx, new_state
+    return audio, count, new_state
 
 
 jax.tree_util.register_pytree_node(
@@ -228,6 +236,7 @@ class WbfmStreamer:
         self.params = make_params(self.config)
         self.state = init_state(self.config)
         self._pending = np.zeros(0, dtype=np.uint8)
+        self.last_mpx: np.ndarray | None = None  # set when config.emit_mpx
 
     def demodulate(self, buf: np.ndarray) -> np.ndarray:
         data = np.concatenate([self._pending, np.asarray(buf, dtype=np.uint8)])
@@ -235,8 +244,16 @@ class WbfmStreamer:
         usable = len(data) - (len(data) % quantum)
         self._pending = data[usable:]
         if usable == 0:
+            if self.config.emit_mpx:
+                self.last_mpx = np.zeros(0, np.float32)
             return np.zeros(0, dtype=np.float32)
-        audio, count, self.state = demodulate_block(
-            jnp.asarray(data[:usable]), self.state, self.params, self.config
-        )
+        if self.config.emit_mpx:
+            audio, count, mpx, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
+            self.last_mpx = np.asarray(mpx)
+        else:
+            audio, count, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
         return np.asarray(audio)[: int(count)]

@@ -22,13 +22,19 @@ _STATE_ATTRS = (
     "_pending",
 )
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_stream_state(path: str, streamer) -> None:
-    """Serialize a streamer's carries to ``path`` (.npz)."""
+    """Serialize a streamer's carries to ``path`` (.npz).
+
+    The checkpoint records which attributes were captured and how many
+    leaves each flattened to, so :func:`load_stream_state` can verify
+    round-trip completeness instead of silently skipping drifted state.
+    """
     import jax
 
+    saved: list[str] = []
     payload: dict[str, np.ndarray] = {
         "__version__": np.int64(_FORMAT_VERSION),
         "__class__": np.str_(type(streamer).__name__),
@@ -36,9 +42,12 @@ def save_stream_state(path: str, streamer) -> None:
     for attr in _STATE_ATTRS:
         if not hasattr(streamer, attr):
             continue
+        saved.append(attr)
         leaves, _ = jax.tree_util.tree_flatten(getattr(streamer, attr))
+        payload[f"{attr}.__n__"] = np.int64(len(leaves))
         for i, leaf in enumerate(leaves):
             payload[f"{attr}.{i}"] = np.asarray(leaf)
+    payload["__attrs__"] = np.str_(",".join(saved))
     np.savez(path, **payload)
 
 
@@ -53,11 +62,21 @@ def load_stream_state(path: str, streamer) -> None:
     if saved_cls != type(streamer).__name__:
         raise ValueError(
             f"checkpoint is for {saved_cls}, not {type(streamer).__name__}")
-    for attr in _STATE_ATTRS:
-        if not hasattr(streamer, attr):
-            continue
+    live = [a for a in _STATE_ATTRS if hasattr(streamer, a)]
+    if "__attrs__" in data:  # format >= 2: completeness both ways
+        saved = [a for a in str(data["__attrs__"]).split(",") if a]
+        if saved != live:
+            raise ValueError(
+                f"checkpoint state attrs {saved} != live streamer's {live} "
+                "(renamed/added carry attribute? config mismatch?)")
+    for attr in live:
         current = getattr(streamer, attr)
         leaves, treedef = jax.tree_util.tree_flatten(current)
+        nkey = f"{attr}.__n__"
+        if nkey in data and int(data[nkey]) != len(leaves):
+            raise ValueError(
+                f"{attr}: checkpoint has {int(data[nkey])} leaves, live "
+                f"state flattens to {len(leaves)} (structure drift)")
         new_leaves = []
         for i, leaf in enumerate(leaves):
             key = f"{attr}.{i}"

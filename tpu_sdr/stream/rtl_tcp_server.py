@@ -12,6 +12,12 @@ Thread layout mirrors the reference's three threads per client
 (rtl_tcp.rs:334-502): a reader loop pulling sync blocks from the device, a
 sender thread draining the bounded queue into the socket, and a command
 thread parsing control messages.
+
+Beyond the reference (which serves one client at a time, rtl_tcp.rs:297):
+``max_clients > 1`` switches to fan-out mode — ONE acquisition loop owns
+the device and pushes every block into N per-client bounded rings, so a
+stalled client only drops its own blocks (backpressure isolated per
+client) while the others keep receiving the full stream.
 """
 
 from __future__ import annotations
@@ -117,31 +123,77 @@ class _BlockQueue:
             self._ring.close()
 
 
+class _ClientSession:
+    """Per-client state in fan-out mode: its own bounded queue, threads,
+    stop flag, and drop counter (backpressure isolation)."""
+
+    def __init__(self, stream: socket.socket, addr, queue_limit: int):
+        self.stream = stream
+        self.addr = addr
+        self.queue = _BlockQueue(DEFAULT_BUF_LENGTH, queue_limit)
+        self.stop = threading.Event()
+        self.errors: list[str] = []
+        self.drops = 0
+        self.sender: threading.Thread | None = None
+        self.commander: threading.Thread | None = None
+
+    def finish(self) -> None:
+        self.stop.set()
+        self.queue.close()
+        if self.sender is not None:
+            self.sender.join(timeout=2.0)
+        self.queue.destroy()
+        try:
+            self.stream.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self.stream.close()
+        if self.commander is not None:
+            self.commander.join(timeout=2.0)
+
+
 class RtlTcpServer:
-    """One-client-at-a-time I/Q server (ref run/serve_client,
-    rtl_tcp.rs:74-502)."""
+    """I/Q server (ref run/serve_client, rtl_tcp.rs:74-502).
+
+    ``max_clients=1`` (default) keeps the reference's one-client-at-a-time
+    behavior; larger values enable single-acquisition fan-out.
+    """
 
     def __init__(self, sdr: RtlSdr, address: str = "127.0.0.1", port: int = DEFAULT_PORT,
-                 queue_limit: int = DEFAULT_QUEUE_LIMIT, default_gain: int | None = None):
+                 queue_limit: int = DEFAULT_QUEUE_LIMIT, default_gain: int | None = None,
+                 max_clients: int = 1):
         self.sdr = sdr
         self.address = address
         self.port = port
         self.queue_limit = max(1, queue_limit)
         self.default_gain = default_gain
+        self.max_clients = max(1, max_clients)
         self.shutdown = threading.Event()
         self._listener: socket.socket | None = None
         self.bound_port: int | None = None
+        # One lock serializes every device access: commands arrive on
+        # per-client threads while the acquisition loop holds the bulk
+        # endpoint (the reference instead drains a channel between reads,
+        # rtl_tcp.rs:409-470 — same effect, commands apply between blocks).
+        self._sdr_lock = threading.Lock()
+        self._sessions: list[_ClientSession] = []
+        self._sessions_lock = threading.Lock()
 
     def serve_forever(self) -> None:
         listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         listener.bind((self.address, self.port))
-        listener.listen(1)
+        listener.listen(self.max_clients)
         listener.settimeout(ACCEPT_POLL_INTERVAL_S)
         self._listener = listener
         self.bound_port = listener.getsockname()[1]
-        log.info("Listening on %s:%s", self.address, self.bound_port)
+        log.info("Listening on %s:%s (max %d client%s)", self.address,
+                 self.bound_port, self.max_clients,
+                 "s" if self.max_clients > 1 else "")
         try:
+            if self.max_clients > 1:
+                self._serve_forever_multi(listener)
+                return
             while not self.shutdown.is_set():
                 try:
                     stream, addr = listener.accept()
@@ -155,6 +207,105 @@ class RtlTcpServer:
                     log.info("Connection closed")
         finally:
             listener.close()
+
+    # -- fan-out mode --------------------------------------------------------
+
+    def _serve_forever_multi(self, listener: socket.socket) -> None:
+        acq = threading.Thread(target=self._acquisition_loop, daemon=True)
+        acq.start()
+        try:
+            while not self.shutdown.is_set():
+                self._reap_sessions()
+                try:
+                    stream, addr = listener.accept()
+                except socket.timeout:
+                    continue
+                with self._sessions_lock:
+                    n = len(self._sessions)
+                if n >= self.max_clients:
+                    log.warning("Refusing client %s: server full (%d)",
+                                addr, self.max_clients)
+                    stream.close()
+                    continue
+                sess = self._start_session(stream, addr)
+                if sess is not None:
+                    with self._sessions_lock:
+                        self._sessions.append(sess)
+                    log.info("Client accepted from %s (%d active)", addr,
+                             n + 1)
+        finally:
+            acq.join(timeout=3.0)
+            with self._sessions_lock:
+                sessions, self._sessions = self._sessions, []
+            for s in sessions:
+                s.finish()
+
+    def _start_session(self, stream: socket.socket, addr):
+        try:
+            with self._sdr_lock:
+                gains = self.sdr.get_tuner_gains()
+                tuner_type = TUNER_TYPE_CODES.get(self.sdr.get_tuner_id(), 0)
+            send_handshake(stream, tuner_type, len(gains))
+        except OSError as e:
+            log.warning("Handshake to %s failed: %s", addr, e)
+            stream.close()
+            return None
+        sess = _ClientSession(stream, addr, self.queue_limit)
+        last_gain = self.default_gain if self.default_gain is not None else (
+            gains[0] if gains else 0)
+        ctl = {"manual": self.default_gain is not None,
+               "last_gain": last_gain, "gains": gains}
+        sess.sender = threading.Thread(
+            target=self._sender_loop,
+            args=(stream, sess.queue, sess.stop, sess.errors), daemon=True)
+        sess.commander = threading.Thread(
+            target=self._command_loop,
+            args=(stream, ctl, sess.stop, sess.errors), daemon=True)
+        sess.sender.start()
+        sess.commander.start()
+        return sess
+
+    def _reap_sessions(self) -> None:
+        with self._sessions_lock:
+            done = [s for s in self._sessions if s.stop.is_set()]
+            self._sessions = [s for s in self._sessions
+                              if not s.stop.is_set()]
+        for s in done:
+            s.finish()
+            msg = ", ".join(s.errors) if s.errors else "closed"
+            log.info("Client %s gone (%s; %d blocks dropped)", s.addr, msg,
+                     s.drops)
+
+    def _acquisition_loop(self) -> None:
+        """ONE device reader fanning blocks out to every live session.
+
+        A full per-client queue drops that client's block only — a stalled
+        reader cannot backpressure the radio or its peers.
+        """
+        while not self.shutdown.is_set():
+            with self._sessions_lock:
+                sessions = list(self._sessions)
+            if not sessions:
+                self.shutdown.wait(ACCEPT_POLL_INTERVAL_S)
+                continue
+            try:
+                with self._sdr_lock:
+                    data = self.sdr.read_sync(DEFAULT_BUF_LENGTH)
+            except Exception as e:  # noqa: BLE001 — device gone: stop serving
+                log.error("Read error, stopping acquisition: %s", e)
+                for s in sessions:
+                    s.errors.append(f"Read error: {e}")
+                    s.stop.set()
+                self.shutdown.set()
+                return
+            if len(data) < DEFAULT_BUF_LENGTH:
+                log.warning("Short read (%d), samples lost", len(data))
+                continue
+            for s in sessions:
+                if s.stop.is_set():
+                    continue
+                if not s.queue.put(data, timeout=0.0):
+                    s.drops += 1
 
     def stop(self) -> None:
         self.shutdown.set()
@@ -193,7 +344,8 @@ class RtlTcpServer:
         # Main loop: sync reads -> bounded queue (ref rtl_tcp.rs:409-470)
         while not (connection_stop.is_set() or self.shutdown.is_set()):
             try:
-                data = self.sdr.read_sync(DEFAULT_BUF_LENGTH)
+                with self._sdr_lock:
+                    data = self.sdr.read_sync(DEFAULT_BUF_LENGTH)
             except Exception as e:
                 errors.append(f"Read error: {e}")
                 break
@@ -254,7 +406,8 @@ class RtlTcpServer:
             (param_u32,) = struct.unpack(">I", buf[1:5])
             param_i32 = struct.unpack(">i", buf[1:5])[0]
             try:
-                self._handle_command(cmd, param_u32, param_i32, ctl)
+                with self._sdr_lock:
+                    self._handle_command(cmd, param_u32, param_i32, ctl)
             except Exception as e:
                 errors.append(str(e))
                 stop.set()
