@@ -377,3 +377,31 @@ def test_open_fd_reaches_libusb_wrap():
     finally:
         os.close(r)
         os.close(w)
+
+
+def test_sysfreq_sel_delivery_system_tables():
+    """The full per-delivery-system AGC tables survive (ref
+    r82xx.rs:809-964): ISDB-T raises the LNA detector threshold, hot
+    DVB-T channels drop the charge-pump current and divider buffer, and
+    the analog-TV path programs the 1 kHz AGC clock instead of 60 Hz."""
+    dev, backend = make_device()
+    core = SdrCore(dev)
+    core.init()
+    tuner = core.tuner
+    core.set_i2c_repeater(True)
+    try:
+        tuner.sysfreq_sel(dev, 0, delivery_system="isdbt")
+        assert backend.tuner_regs[0x0D] == 0x75
+        tuner.sysfreq_sel(dev, 0, delivery_system="dvbt")
+        assert backend.tuner_regs[0x0D] == 0x53
+        assert (backend.tuner_regs[0x11] & 0x38) == 0x38  # cp auto
+        tuner.sysfreq_sel(dev, 506_000_000, delivery_system="dvbt")
+        assert (backend.tuner_regs[0x11] & 0x38) == 0x28  # hot channel cp
+        assert (backend.tuner_regs[0x1C] & 0xF8) == (0x14 & 0xF8)  # mix top
+        tuner.sysfreq_sel(dev, 0, tuner_type="analog_tv")
+        assert (backend.tuner_regs[0x1A] & 0x30) == 0x00  # agc clk 1 kHz
+        assert (backend.tuner_regs[0x1D] & 0x38) == (0xE5 & 0x38)  # LNA TOP
+        tuner.sysfreq_sel(dev, 0)  # defaults = (digital_tv, dvbt)
+        assert (backend.tuner_regs[0x1A] & 0x30) == 0x20  # agc clk 60 Hz
+    finally:
+        core.set_i2c_repeater(False)

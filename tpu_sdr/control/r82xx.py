@@ -416,18 +416,27 @@ class R82xx(Tuner):
         else:
             self.write_reg_mask(handle, 0x12, 0x80, 0xE0)
 
-    def sysfreq_sel(self, handle, freq: int) -> None:
-        """DVB-T AGC/top-point setup (r82xx.rs:809-964).  The reference only
-        ever calls this with digital-TV/DVB-T parameters, so the other
-        delivery-system tables collapse away."""
-        if freq in (506_000_000, 666_000_000, 818_000_000):
-            mixer_top, cp_cur = 0x14, 0x28
-            div_buf_cur = 0x20
-        else:
-            mixer_top, cp_cur = 0x24, 0x38
-            div_buf_cur = 0x30
+    def sysfreq_sel(self, handle, freq: int,
+                    tuner_type: str = "digital_tv",
+                    delivery_system: str = "dvbt") -> None:
+        """AGC/top-point setup for a delivery system (r82xx.rs:809-964).
+
+        The reference only ever calls this as (digital_tv, dvbt) — the
+        defaults here — but carries the full per-system parameter tables
+        and the analog-TV LNA path; both are kept so other standards stay
+        one call away.  ``delivery_system``: dvbt | dvbt2 | isdbt |
+        undefined (= DVB-T 8M).
+        """
+        hot_dvbt = (delivery_system == "dvbt"
+                    and freq in (506_000_000, 666_000_000, 818_000_000))
+        # Per-system AGC thresholds (r82xx.rs:827-884).  All systems share
+        # lna_top 0xE5, mixer_vth_l 0x75, air/cable2 in 0, pre_dect 0x40,
+        # lna_discharge 14, filter_cur 0x40; the rows differ only in the
+        # mixer top / charge-pump current (hot DVB-T channels) and the LNA
+        # detector threshold (ISDB-T).
+        mixer_top, cp_cur = (0x14, 0x28) if hot_dvbt else (0x24, 0x38)
         lna_top = 0xE5
-        lna_vth_l = 0x53
+        lna_vth_l = 0x75 if delivery_system == "isdbt" else 0x53
         mixer_vth_l = 0x75
         air_cable1_in = 0x00
         cable2_in = 0x00
@@ -437,6 +446,8 @@ class R82xx(Tuner):
         if self.blog_mod:
             # Blog mod: PLL dropout to 2.0 V for L-band (r82xx.rs:897-916)
             div_buf_cur = 0xA0
+        else:
+            div_buf_cur = 0x20 if hot_dvbt else 0x30
 
         if self.use_predetect:
             self.write_reg_mask(handle, 0x06, pre_dect, 0x40)
@@ -449,15 +460,23 @@ class R82xx(Tuner):
         self.write_reg_mask(handle, 0x11, cp_cur, 0x38)
         self.write_reg_mask(handle, 0x17, div_buf_cur, 0x30)
         self.write_reg_mask(handle, 0x0A, filter_cur, 0x60)
-        # Digital-TV LNA path (r82xx.rs:922-944)
-        self.write_reg_mask(handle, 0x1D, 0x00, 0x38)  # LNA TOP: lowest
-        self.write_reg_mask(handle, 0x1C, 0x00, 0x04)  # normal mode
-        self.write_reg_mask(handle, 0x06, 0x00, 0x40)  # PRE_DECT off
-        self.write_reg_mask(handle, 0x1A, 0x30, 0x30)  # agc clk 250 Hz
-        self.write_reg_mask(handle, 0x1D, 0x18, 0x38)  # LNA TOP = 3
-        self.write_reg_mask(handle, 0x1C, mixer_top, 0x04)  # discharge mode
-        self.write_reg_mask(handle, 0x1E, lna_discharge, 0x1F)
-        self.write_reg_mask(handle, 0x1A, 0x20, 0x30)  # agc clk 60 Hz
+        if tuner_type != "analog_tv":
+            # Digital-TV LNA path (r82xx.rs:922-944)
+            self.write_reg_mask(handle, 0x1D, 0x00, 0x38)  # LNA TOP: lowest
+            self.write_reg_mask(handle, 0x1C, 0x00, 0x04)  # normal mode
+            self.write_reg_mask(handle, 0x06, 0x00, 0x40)  # PRE_DECT off
+            self.write_reg_mask(handle, 0x1A, 0x30, 0x30)  # agc clk 250 Hz
+            self.write_reg_mask(handle, 0x1D, 0x18, 0x38)  # LNA TOP = 3
+            self.write_reg_mask(handle, 0x1C, mixer_top, 0x04)  # discharge
+            self.write_reg_mask(handle, 0x1E, lna_discharge, 0x1F)
+            self.write_reg_mask(handle, 0x1A, 0x20, 0x30)  # agc clk 60 Hz
+        else:
+            # Analog-TV LNA path (r82xx.rs:945-960)
+            self.write_reg_mask(handle, 0x06, 0x00, 0x40)  # PRE_DECT off
+            self.write_reg_mask(handle, 0x1D, lna_top, 0x38)
+            self.write_reg_mask(handle, 0x1C, mixer_top, 0x04)  # discharge
+            self.write_reg_mask(handle, 0x1E, lna_discharge, 0x1F)
+            self.write_reg_mask(handle, 0x1A, 0x00, 0x30)  # agc clk 1 kHz
         self.write_reg_mask(handle, 0x10, lna_discharge, 0x04)
 
     def set_tv_standard(self, handle) -> None:
