@@ -119,3 +119,36 @@ def test_rtl_fm_rds_prints_station_text(tmp_path, capsys):
     err = capsys.readouterr().err
     assert f"[rds] PI: {pi:04X}" in err
     assert f"[rds] PS: '{ps}'" in err
+
+
+def test_multi_fm_rds_per_station(tmp_path, capsys):
+    """Band-wide RDS: the wideband receiver demodulates two stations at
+    once and the per-station RDS decoders identify the one carrying a
+    subcarrier — the [rds ch<N>] lines name the right channel."""
+    from tpu_sdr.apps.multi_fm import main
+    from tpu_sdr.models import rds as R
+
+    pi, ps = 0xC0DE, "WIDEBAND"
+    groups = [R.make_group_0a(pi, 7, seg, ps[2 * seg: 2 * seg + 2])
+              for seg in range(4)]
+    bits = np.concatenate([np.concatenate(groups)] * 4)
+    K, ch_rate = 16, 170_000
+    fs = K * ch_rate
+    n = int(np.ceil((len(bits) + 120) / 1187.5 * fs))
+    n -= n % (16 * K * 85)  # streamer quantum alignment
+    u8, _ = synth.synth_multistation_u8(
+        n, fs, station_freqs=[3 * ch_rate, -4 * ch_rate],
+        audio_freqs=[1000.0, 2500.0], deviation=60_000.0,
+        rds_bits=[bits, None])
+    path = tmp_path / "wb_rds.bin"
+    path.write_bytes(bytes(u8))
+
+    rc, _ = _run_capture_stdout(
+        main, ["--file", str(path), "--channels", f"3,{K - 4}",
+               "--num-channels", str(K), "--rds",
+               "--out-dir", str(tmp_path / "out")])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert f"[rds ch3] PI: {pi:04X}" in err
+    assert f"[rds ch3] PS: '{ps}'" in err
+    assert f"ch{K - 4}]" not in err  # no-RDS station stays silent

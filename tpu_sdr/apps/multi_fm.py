@@ -8,6 +8,9 @@ every selected channel's WBFM tail runs in parallel on the device
 
 Each station's 32 kHz s16 audio is written to ``<out-dir>/station_<ch>.raw``;
 with a single ``--channel`` the audio streams to stdout like simple_fm.
+``--rds`` runs an RDS receiver on EVERY station's multiplex concurrently —
+band-wide station identification from one capture — printing
+``[rds ch<N>] PI/PS/RT`` lines to stderr.
 
 Example (synthesize then receive two stations):
   python -m tpu_sdr.apps.multi_fm --file wideband.bin --channels 3,60
@@ -37,6 +40,9 @@ def main(argv=None) -> int:
                         "when one channel, ./ otherwise)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas channelizer front")
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS on every station; [rds ch<N>] lines "
+                        "go to stderr")
     args = p.parse_args(argv)
 
     from tpu_sdr.models import wbfm_wideband as wb
@@ -45,8 +51,13 @@ def main(argv=None) -> int:
 
     channels = tuple(int(c) for c in args.channels.split(","))
     config = wb.WidebandConfig(num_channels=args.num_channels,
-                               channels=channels)
+                               channels=channels, emit_mpx=args.rds)
     streamer = wb.WidebandStreamer(config, use_pallas=args.pallas)
+    rds_rxs = None
+    if args.rds:
+        from tpu_sdr.models import rds as rds_mod
+
+        rds_rxs = [rds_mod.RdsStreamDecoder() for _ in channels]
     log.info("Capture rate %.3f Msps, %d channels of %d kHz, stations %s",
              config.capture_rate / 1e6, config.num_channels,
              config.channel_rate // 1000, list(channels))
@@ -75,6 +86,11 @@ def main(argv=None) -> int:
                     sys.stdout.buffer.write(pcm.tobytes())
                 else:
                     sinks[s].write(pcm.tobytes())
+            if rds_rxs is not None and streamer.last_mpx is not None:
+                for s, ch in enumerate(channels):
+                    for event in rds_rxs[s].feed_mpx(streamer.last_mpx[s]):
+                        print(f"[rds ch{ch}] {event}", file=sys.stderr,
+                              flush=True)
     if single_stdout:
         sys.stdout.buffer.flush()
     for s in sinks:

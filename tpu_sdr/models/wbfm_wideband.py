@@ -43,6 +43,9 @@ class WidebandConfig:
     rate_resample: int = 32_000
     resample_taps_per_phase: int = 48
     resample_cutoff_frac: float = 0.8
+    # Also return every station's multiplex (discriminator output) — the
+    # tap the per-station RDS decoders consume (multi_fm --rds).
+    emit_mpx: bool = False
 
     @property
     def capture_rate(self) -> int:
@@ -115,15 +118,17 @@ def demodulate_block(buf: jax.Array, state: WidebandState,
         z, quad = F.quadrature_demod(zr1, zi1, F.QuadState(q_re, q_im))
         audio, rs = F.aligned_resample(
             z, params.resamp_V, up, down, F.AlignedResampleState(hist))
-        return audio, quad, rs
+        return audio, z, quad, rs
 
-    audio, quads, rss = jax.vmap(tail)(
+    audio, mpx, quads, rss = jax.vmap(tail)(
         zr, zi, state.quad.pre_re, state.quad.pre_im, state.resamp.hist)
     new_state = WidebandState(
         pfb,
         F.QuadState(quads.pre_re, quads.pre_im),
         F.AlignedResampleState(rss.hist),
     )
+    if config.emit_mpx:
+        return audio, mpx, new_state
     return audio, new_state
 
 
@@ -159,11 +164,14 @@ def demodulate_block_pallas(data_i16, pfb_carry, quad: F.QuadState,
         z, q = F.quadrature_demod(zr1, zi1, F.QuadState(q_re, q_im))
         audio, rs = F.aligned_resample(
             z, resamp_V, up, down, F.AlignedResampleState(hist))
-        return audio, q, rs
+        return audio, z, q, rs
 
-    audio, quads, rss = jax.vmap(tail)(
+    audio, mpx, quads, rss = jax.vmap(tail)(
         zr, zi, quad.pre_re, quad.pre_im, resamp_hist)
-    return audio, new_carry, F.QuadState(quads.pre_re, quads.pre_im), rss.hist
+    out_state = (new_carry, F.QuadState(quads.pre_re, quads.pre_im), rss.hist)
+    if config.emit_mpx:
+        return (audio, mpx) + out_state
+    return (audio,) + out_state
 
 
 class WidebandStreamer:
@@ -180,6 +188,7 @@ class WidebandStreamer:
         self.state = init_state(self.config, self.params)
         self._pending = np.zeros(0, dtype=np.uint8)
         self._quantum = 2 * self.config.num_channels * self.config.resample_down
+        self.last_mpx: np.ndarray | None = None  # set when config.emit_mpx
         self.use_pallas = use_pallas
         if use_pallas:
             import jax as _jax
@@ -207,20 +216,36 @@ class WidebandStreamer:
         data = np.concatenate([self._pending, np.asarray(buf, np.uint8)])
         usable = len(data) - (len(data) % self._quantum)
         self._pending = data[usable:]
+        emit_mpx = self.config.emit_mpx
         if usable == 0:
+            if emit_mpx:
+                self.last_mpx = np.zeros((len(self.config.channels), 0),
+                                         np.float32)
             return np.zeros((len(self.config.channels), 0), np.float32)
         if self.use_pallas:
             from tpu_sdr.ops import pallas_channelizer as pc
 
             d16 = pc.view_u8_as_i16(data[:usable], self.pspec)
-            audio, self.pfb_carry, quad, rhist = demodulate_block_pallas(
+            out = demodulate_block_pallas(
                 jnp.asarray(d16), self.pfb_carry, self.state.quad,
                 self.state.resamp.hist, self.m2_hi, self.m2_lo,
                 self.params.resamp_V, self.config, self.pspec,
                 interpret=self.interpret)
+            if emit_mpx:
+                audio, mpx, self.pfb_carry, quad, rhist = out
+                self.last_mpx = np.asarray(mpx)
+            else:
+                audio, self.pfb_carry, quad, rhist = out
             self.state = WidebandState(
                 self.state.pfb, quad, F.AlignedResampleState(rhist))
             return np.asarray(audio)
-        audio, self.state = demodulate_block(
-            jnp.asarray(data[:usable]), self.state, self.params, self.config)
+        if emit_mpx:
+            audio, mpx, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
+            self.last_mpx = np.asarray(mpx)
+        else:
+            audio, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
         return np.asarray(audio)

@@ -130,6 +130,7 @@ def synth_multistation_u8(
     deviation: float = 75_000.0,
     amplitude: float | None = None,
     seed: int = 0,
+    rds_bits: list | None = None,
 ) -> tuple[np.ndarray, list[np.ndarray]]:
     """Wideband capture containing several WBFM stations at once.
 
@@ -139,18 +140,38 @@ def synth_multistation_u8(
     the input for the PFB-channelized multi-station receive path
     (BASELINE.json config #3; the reference can only tune one station per
     process).
+
+    ``rds_bits``: optional per-station list; a non-None entry gives that
+    station a standard pilot + 57 kHz RDS subcarrier (differentially
+    encoded biphase BPSK, pilot-locked clock) so the per-station RDS
+    decoders (multi_fm --rds) have something to lock to.
     """
     assert len(station_freqs) == len(audio_freqs)
     n_st = len(station_freqs)
+    if rds_bits is None:
+        rds_bits = [None] * n_st
+    assert len(rds_bits) == n_st
     if amplitude is None:
         amplitude = 0.85 / n_st
     t = np.arange(num_samples) / capture_rate
     sig = np.zeros(num_samples, dtype=np.complex128)
     audios = []
-    for f_c, f_a in zip(station_freqs, audio_freqs):
+    for f_c, f_a, bits in zip(station_freqs, audio_freqs, rds_bits):
         audio = np.sin(2 * np.pi * f_a * t)
         audios.append(audio)
-        phase = 2 * np.pi * deviation * np.cumsum(audio) / capture_rate
+        if bits is None:
+            mod = audio
+        else:
+            b = np.asarray(bits, np.uint8)
+            d = np.bitwise_xor.accumulate(b)
+            tb = t * 1187.5
+            k = np.minimum(tb.astype(int), len(b) - 1)
+            frac = tb - tb.astype(int)
+            sign = (np.where(d[k] == 0, 1.0, -1.0)
+                    * np.where(frac < 0.5, 1.0, -1.0))
+            mod = (0.6 * audio + 0.1 * np.cos(2 * np.pi * 19_000.0 * t)
+                   + 0.06 * sign * np.cos(2 * np.pi * 57_000.0 * t))
+        phase = 2 * np.pi * deviation * np.cumsum(mod) / capture_rate
         sig += amplitude * np.exp(1j * (phase + 2 * np.pi * f_c * t))
     iq = np.empty(2 * num_samples, dtype=np.float64)
     iq[0::2] = sig.real
