@@ -152,3 +152,71 @@ def test_multi_fm_rds_per_station(tmp_path, capsys):
     assert f"[rds ch3] PI: {pi:04X}" in err
     assert f"[rds ch3] PS: '{ps}'" in err
     assert f"ch{K - 4}]" not in err  # no-RDS station stays silent
+
+
+def test_simple_fm_stereo_rds(tmp_path, capsys):
+    """Stereo decode and RDS share one multiplex: --mode stereo --rds
+    yields interleaved L/R audio on stdout and station text on stderr."""
+    from tpu_sdr.apps.simple_fm import main
+    from tpu_sdr.models import rds as R
+
+    pi, ps = 0xD00D, "STEREO+R"
+    groups = [R.make_group_0a(pi, 10, seg, ps[2 * seg: 2 * seg + 2])
+              for seg in range(4)]
+    bits = np.concatenate([np.concatenate(groups)] * 4)
+    n = int(np.ceil((len(bits) + 120) / 1187.5 * 1_020_000))
+    n -= n % (6 * 85)
+    u8, _, _ = synth.synth_wbfm_stereo_u8(n, capture_rate=1_020_000,
+                                          rds_bits=bits)
+    path = tmp_path / "st_rds.bin"
+    path.write_bytes(bytes(u8))
+
+    rc, audio = _run_capture_stdout(
+        main, ["--file", str(path), "--mode", "stereo", "--rds"])
+    assert rc == 0
+    pcm = np.frombuffer(audio, dtype="<i2").astype(np.float64)
+    left = pcm[0::2]
+    snr = synth.tone_snr(left, 800.0, 32_000, skip=2000)
+    assert snr > 14, f"stereo L channel degraded: {snr:.1f} dB"
+    err = capsys.readouterr().err
+    assert f"[rds] PI: {pi:04X}" in err
+    assert f"[rds] PS: '{ps}'" in err
+
+
+def test_simple_fm_tcp_source(tmp_path, capsys):
+    """simple_fm --tcp: network receive chain — an rtl_tcp server on a
+    fake dongle synthesizing a WBFM station feeds the demodulator over a
+    real socket; the 1 kHz tone must survive the whole path."""
+    import threading
+    import time
+
+    from tpu_sdr import api
+    from tpu_sdr.apps.simple_fm import main
+    from tpu_sdr.control import fake
+    from tpu_sdr.stream.rtl_tcp_server import RtlTcpServer
+
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="tcp00001",
+        source_factory=lambda: fake.SynthFmSource(capture_rate=1_020_000)))
+    sdr = api.RtlSdr.open_with_index(0)
+    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=32)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while srv.bound_port is None and time.time() < deadline:
+        time.sleep(0.01)
+    try:
+        rc, audio = _run_capture_stdout(
+            main, ["--tcp", f"127.0.0.1:{srv.bound_port}", "--mode", "fir",
+                   "--blocks", "6"])
+        assert rc == 0
+        pcm = np.frombuffer(audio, dtype="<i2").astype(np.float64)
+        assert len(pcm) > 20_000
+        snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=4000)
+        assert snr > 20, f"tone lost over the tcp path: {snr:.1f} dB"
+    finally:
+        srv.stop()
+        t.join(timeout=5)
+        sdr.close()
+        fake.clear_fake_devices()

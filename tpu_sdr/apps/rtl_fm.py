@@ -49,10 +49,16 @@ def main(argv=None) -> int:
     p.add_argument("-f", dest="frequency", type=parse_scaled,
                    default=94_900_000)
     p.add_argument("--file", help="raw u8 I/Q capture (else open a device)")
+    p.add_argument("--tcp", metavar="HOST:PORT",
+                   help="stream from a remote rtl_tcp server instead of a "
+                        "local device")
     p.add_argument("-d", dest="device", type=int, default=0)
     p.add_argument("--rds", action="store_true",
                    help="decode RDS from the multiplex (wbfm only); "
                         "PI/PS/RadioText lines go to stderr")
+    p.add_argument("--blocks", type=int, default=0,
+                   help="stop after N blocks (device/tcp modes; 0 = run "
+                        "until interrupted)")
     args = p.parse_args(argv)
     if args.rds and args.mode != "wbfm":
         p.error("--rds requires -M wbfm (RDS rides the FM multiplex)")
@@ -84,20 +90,36 @@ def main(argv=None) -> int:
         sys.stdout.buffer.flush()
         return 0
 
-    from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
     from tpu_sdr.stream.feeder import BlockFeeder, DeviceSource
 
-    sdr = RtlSdr.open(DeviceId.index(args.device))
-    sdr.set_tuner_gain(TunerGain.AUTO)
     cap = streamer.config.capture_rate if hasattr(streamer.config, "capture_rate") \
         else 1_020_000
-    sdr.set_sample_rate(cap)
-    sdr.set_center_freq(args.frequency + cap // 4)  # fs/4 offset capture
-    sdr.reset_buffer()
-    feeder = BlockFeeder(DeviceSource(sdr)).start()
+    if args.tcp:
+        from tpu_sdr.stream.feeder import RtlTcpClientSource
+
+        host, _, port = args.tcp.rpartition(":")
+        source = RtlTcpClientSource(host or "127.0.0.1", int(port))
+        source.set_gain_mode(False)
+        source.set_sample_rate(cap)
+        source.set_frequency(args.frequency + cap // 4)  # fs/4 offset
+        log.info("Streaming from rtl_tcp://%s", args.tcp)
+    else:
+        from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
+
+        sdr = RtlSdr.open(DeviceId.index(args.device))
+        sdr.set_tuner_gain(TunerGain.AUTO)
+        sdr.set_sample_rate(cap)
+        sdr.set_center_freq(args.frequency + cap // 4)  # fs/4 offset capture
+        sdr.reset_buffer()
+        source = DeviceSource(sdr)
+    feeder = BlockFeeder(source).start()
+    done = 0
     try:
         for block in feeder.blocks():
             emit(block)
+            done += 1
+            if args.blocks and done >= args.blocks:
+                break
     except KeyboardInterrupt:
         pass
     finally:

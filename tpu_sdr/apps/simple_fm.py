@@ -14,6 +14,9 @@ Modes (--mode):
   fir     FIR quality chain (best audio)
   pallas  fused Pallas TPU kernel chain (fastest; interpreted off-TPU)
   stereo  pilot-tone stereo decoder -> interleaved L/R s16 (play with -c 2)
+
+``--rds`` (stereo mode) additionally decodes the Radio Data System from
+the same multiplex and prints PI/PS/RadioText lines to stderr.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ SAMPLE_RATE = 170_000  # demod rate (ref simple_fm.rs:26)
 RATE_RESAMPLE = 32_000  # audio out (ref simple_fm.rs:27)
 
 
-def make_demodulator(mode: str, deemph_us: float = 0.0):
+def make_demodulator(mode: str, deemph_us: float = 0.0, rds: bool = False):
     """Return (demod_fn(u8 block)->np audio s16, description)."""
     from tpu_sdr.models import wbfm, wbfm_exact
 
@@ -43,16 +46,26 @@ def make_demodulator(mode: str, deemph_us: float = 0.0):
         streamer = wbfm_exact.WbfmExactStreamer()
         return streamer.demodulate, "exact integer chain"
     if mode == "stereo":
-        from tpu_sdr.models.wbfm_stereo import WbfmStereoStreamer
+        from tpu_sdr.models.wbfm_stereo import StereoConfig, WbfmStereoStreamer
         from tpu_sdr.native import f32_to_s16
 
-        st = WbfmStereoStreamer()
+        st = WbfmStereoStreamer(StereoConfig(emit_mpx=rds)) if rds \
+            else WbfmStereoStreamer()
+        rds_rx = None
+        if rds:
+            from tpu_sdr.models import rds as rds_mod
+
+            rds_rx = rds_mod.RdsStreamDecoder()
 
         def demod_stereo(buf: np.ndarray) -> np.ndarray:
             audio = st.demodulate(buf)  # (2, m)
+            if rds_rx is not None and st.last_mpx is not None:
+                for event in rds_rx.feed_mpx(st.last_mpx):
+                    print(f"[rds] {event}", file=sys.stderr, flush=True)
             return f32_to_s16(audio.T.reshape(-1))  # interleaved L/R s16
 
-        return demod_stereo, "stereo multiplex decoder (pilot-tone)"
+        desc = "stereo multiplex decoder (pilot-tone)"
+        return demod_stereo, desc + (" + RDS" if rds else "")
     if mode == "pallas":
         from tpu_sdr.ops.pallas_fm import PallasWbfmStreamer
 
@@ -82,7 +95,8 @@ def output(buf: np.ndarray) -> None:
     sys.stdout.buffer.flush()
 
 
-def process_loop(demod, feeder, shutdown: threading.Event):
+def process_loop(demod, feeder, shutdown: threading.Event,
+                 max_blocks: int = 0):
     """Demod loop with running-average timing (ref process,
     simple_fm.rs:135-170).  The receive side is the feeder's reader (the
     native C++ pump/ring when built — the reference's receive thread,
@@ -96,6 +110,8 @@ def process_loop(demod, feeder, shutdown: threading.Event):
         with stats.block(len(data) // 2):
             audio = demod(data)
         output(audio)
+        if max_blocks and stats.blocks >= max_blocks:
+            break
     stats.drop(feeder.dropped)
     if stats.blocks:
         log.info("Average processing time: %.2fms (%d loops); %s",
@@ -120,6 +136,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--freq", type=int, default=FREQUENCY)
     p.add_argument("--file", help="read raw u8 I/Q from file instead of a device")
+    p.add_argument("--tcp", metavar="HOST:PORT",
+                   help="stream from a remote rtl_tcp server instead of a "
+                        "local device (tunes it to --freq)")
     p.add_argument("--device", type=int, default=0)
     p.add_argument("--mode",
                    choices=["exact", "boxcar", "fir", "pallas", "stereo"],
@@ -129,18 +148,52 @@ def main(argv=None) -> int:
     p.add_argument("--deemph", type=float, default=0.0, metavar="US",
                    help="de-emphasis time constant in microseconds "
                         "(75 US / 50 EU; fir/boxcar modes)")
+    p.add_argument("--rds", action="store_true",
+                   help="decode RDS alongside the audio (stereo mode); "
+                        "PI/PS/RadioText lines go to stderr")
+    p.add_argument("--blocks", type=int, default=0,
+                   help="stop after N blocks (device/tcp modes; 0 = run "
+                        "until interrupted)")
     args = p.parse_args(argv)
+    if args.rds and args.mode != "stereo":
+        p.error("--rds requires --mode stereo here (for mono use "
+                "rtl_fm --rds)")
 
     from tpu_sdr.models.wbfm_exact import optimal_settings
     from tpu_sdr.utils.profiling import trace
 
     radio, _demod_cfg = optimal_settings(args.freq, SAMPLE_RATE)
-    demod, desc = make_demodulator(args.mode, args.deemph)
+    demod, desc = make_demodulator(args.mode, args.deemph, rds=args.rds)
     log.info("Demodulating with %s", desc)
 
     if args.file:
         with trace(args.trace):
             run_file(args.file, demod)
+        return 0
+
+    from tpu_sdr.stream.feeder import BlockFeeder
+
+    if args.tcp:
+        from tpu_sdr.stream.feeder import RtlTcpClientSource
+
+        host, _, port = args.tcp.rpartition(":")
+        src = RtlTcpClientSource(host or "127.0.0.1", int(port))
+        src.set_sample_rate(radio.capture_rate)
+        src.set_frequency(radio.capture_freq)
+        src.set_gain_mode(False)
+        log.info("Streaming from rtl_tcp://%s (tuner type %d), tuned to "
+                 "%d Hz at %d S/s", args.tcp, src.tuner_type,
+                 radio.capture_freq, radio.capture_rate)
+        shutdown = threading.Event()
+        feeder = BlockFeeder(src, block_bytes=DEFAULT_BUF_LENGTH,
+                             queue_blocks=16).start()
+        try:
+            with trace(args.trace):
+                process_loop(demod, feeder, shutdown, args.blocks)
+        except KeyboardInterrupt:
+            shutdown.set()
+        finally:
+            feeder.stop()
         return 0
 
     sdr = RtlSdr.open(DeviceId.index(args.device))
@@ -162,7 +215,7 @@ def main(argv=None) -> int:
                          queue_blocks=16).start()
     try:
         with trace(args.trace):
-            process_loop(demod, feeder, shutdown)
+            process_loop(demod, feeder, shutdown, args.blocks)
     except KeyboardInterrupt:
         shutdown.set()
     finally:

@@ -41,6 +41,9 @@ class StereoConfig:
     audio_taps: int = 129      # 15 kHz LPF at 170 kHz
     pilot_taps: int = 257      # 19 kHz +-1.5 kHz BPF
     sub_taps: int = 257        # 38 kHz +-3 kHz BPF
+    # Also return the multiplex (discriminator output) — RDS rides the
+    # same signal the stereo decoder consumes (simple_fm --mode stereo --rds).
+    emit_mpx: bool = False
 
     def __post_init__(self):
         if self.base is None:
@@ -160,6 +163,8 @@ def demodulate_block(buf: jax.Array, state: StereoState,
                         state.front.box_resamp, state.front.deemph)
     new_state = StereoState(front, lpf_s, bpf_p, bpf_c, lpf_d, dly_y, dly_s,
                             rs_l, rs_r)
+    if config.emit_mpx:
+        return jnp.stack([audio_l, audio_r]), y, new_state
     return jnp.stack([audio_l, audio_r]), new_state
 
 
@@ -180,13 +185,23 @@ class WbfmStereoStreamer:
         base = self.config.base
         self._quantum = 2 * base.decim * base.resample_down
         self._pending = np.zeros(0, dtype=np.uint8)
+        self.last_mpx: np.ndarray | None = None  # set when config.emit_mpx
 
     def demodulate(self, buf: np.ndarray) -> np.ndarray:
         data = np.concatenate([self._pending, np.asarray(buf, np.uint8)])
         usable = len(data) - (len(data) % self._quantum)
         self._pending = data[usable:]
         if usable == 0:
+            if self.config.emit_mpx:
+                self.last_mpx = np.zeros(0, np.float32)
             return np.zeros((2, 0), np.float32)
-        audio, self.state = demodulate_block(
-            jnp.asarray(data[:usable]), self.state, self.params, self.config)
+        if self.config.emit_mpx:
+            audio, mpx, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
+            self.last_mpx = np.asarray(mpx)
+        else:
+            audio, self.state = demodulate_block(
+                jnp.asarray(data[:usable]), self.state, self.params,
+                self.config)
         return np.asarray(audio)
