@@ -164,3 +164,44 @@ def test_mosaic_sharded_chain_single_chip(capture):
     serial = pallas_fm.PallasWbfmStreamer(interpret=False)
     exp = serial.demodulate(capture)[None, :]
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_tpu_u8_bitcast_unpack_matches_numpy():
+    """The i16-bitcast byte unpack in u8_to_f32 (the fix for the 50x
+    stride-2 deinterleave slowdown) must produce byte-exact deinterleaving
+    ON HARDWARE — bitcast_convert_type semantics are backend-specific and
+    the CPU tier cannot vouch for the TPU lowering."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.ops import fm as F
+
+    rng = np.random.default_rng(3)
+    buf = rng.integers(0, 256, size=2 * 510 * 64, dtype=np.uint8)
+    re, im = F.u8_to_f32(jnp.asarray(buf))
+    scale = 1.0 / 127.5
+    np.testing.assert_allclose(
+        np.asarray(re), buf[0::2].astype(np.float32) * scale - 127.5 * scale,
+        rtol=0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(im), buf[1::2].astype(np.float32) * scale - 127.5 * scale,
+        rtol=0, atol=1e-6)
+
+
+def test_tpu_wideband_pallas_front_decodes_station():
+    """Fused Pallas channelizer front (Mosaic) through the wideband
+    multi-station receiver on hardware: the station tone survives."""
+    from tpu_sdr.models import wbfm_wideband as wb
+    from tpu_sdr.utils import synth
+
+    K, ch_rate = 16, 170_000
+    fs = K * ch_rate
+    n = 16 * K * 85 * 24
+    u8, _ = synth.synth_multistation_u8(
+        n, fs, station_freqs=[3 * ch_rate], audio_freqs=[1000.0],
+        deviation=60_000.0)
+    config = wb.WidebandConfig(num_channels=K, channels=(3,))
+    st = wb.WidebandStreamer(config, use_pallas=True, interpret=False)
+    audio = st.demodulate(np.asarray(u8, np.uint8))
+    snr = synth.tone_snr(np.asarray(audio[0], np.float64), 1000.0, 32_000,
+                         skip=1500)
+    assert snr > 25, f"Mosaic PFB front lost the station tone: {snr:.1f} dB"
