@@ -173,8 +173,8 @@ def test_rds_stream_decoder_requires_pilot():
 
 
 def test_group_synchronizer_flywheel():
-    """A corrupted block drops only its group; a bit slip forces
-    re-acquisition and sync returns."""
+    """Without correction a corrupted block drops only its group; a bit
+    slip forces re-acquisition and sync returns."""
     words = [(0x1111 + g, 0x2000 + g, 0x3000 + g, 0x4000 + g)
              for g in range(12)]
     bits = np.concatenate([R.make_group(w) for w in words])
@@ -183,7 +183,7 @@ def test_group_synchronizer_flywheel():
     slip_at = 15 + 104 * 6                # delete a bit before group 6
     bits = np.concatenate([bits[:slip_at], bits[slip_at + 1:]])
 
-    sync = R.GroupSynchronizer(max_bad_groups=2)
+    sync = R.GroupSynchronizer(max_bad_groups=2, correct=False)
     got = []
     for chunk in np.array_split(bits, 9):
         got += sync.feed(chunk)
@@ -193,3 +193,43 @@ def test_group_synchronizer_flywheel():
     # re-search lands inside; everything after that must decode again
     late = [w for w in words[9:] if tuple(w) in got]
     assert len(late) == 3, f"flywheel failed to re-acquire: {got}"
+
+
+def test_burst_error_correction():
+    """The (26,16) code corrects any burst of <= 5 bits per block once
+    synced; 6-bit bursts are detected, not mis-corrected."""
+    # table sanity: burst syndromes are unique and never zero
+    table = R._burst_table()
+    assert len(table) == 367 and 0 not in table
+
+    words = [(0xAAA0 + g, 0x2000 + g, 0x3000 + g, 0x4000 + g)
+             for g in range(8)]
+    bits = np.concatenate([R.make_group(w) for w in words])
+    # group 2 block A: 5-bit burst; group 3 block D: 2 separated flips
+    # (= a burst of span <= 5 here); group 5 block B: 6-bit burst
+    for off in range(5):
+        bits[104 * 2 + 3 + off] ^= 1
+    bits[104 * 3 + 26 * 3 + 7] ^= 1
+    bits[104 * 3 + 26 * 3 + 10] ^= 1
+    for off in range(6):
+        bits[104 * 5 + 26 + 2 + off] ^= 1
+
+    sync = R.GroupSynchronizer()
+    got = sync.feed(bits)
+    assert tuple(words[2]) in got, "5-bit burst not corrected"
+    assert tuple(words[3]) in got, "span-4 burst not corrected"
+    assert tuple(words[5]) not in got, "6-bit burst must not pass"
+    assert sync.blocks_corrected >= 2
+    assert sync.bits_corrected >= 7
+
+
+def test_correct_block_direct():
+    blk = R.make_block(0x1234, "B")
+    info, n = R.correct_block(blk, "B")
+    assert (info, n) == (0x1234, 0)
+    blk2 = blk.copy()
+    blk2[5] ^= 1
+    blk2[8] ^= 1  # burst span 4
+    info, n = R.correct_block(blk2, "B")
+    assert info == 0x1234 and n == 2
+    assert R.correct_block(blk2, "A") != (0x1234, 2)  # wrong offset

@@ -225,6 +225,49 @@ def make_group(words: tuple[int, int, int, int],
     return np.concatenate([make_block(w, o) for w, o in zip(words, offs)])
 
 
+_BURST_TABLE: dict[int, int] | None = None
+
+
+def _burst_table() -> dict[int, int]:
+    """syndrome -> 26-bit error vector for every burst of length <= 5.
+
+    The RDS (26,16) shortened cyclic code corrects any single burst of up
+    to 5 bits; for this g(x) the 367 burst syndromes are collision-free
+    (asserted by tests), so correction is an exact table lookup."""
+    global _BURST_TABLE
+    if _BURST_TABLE is None:
+        table: dict[int, int] = {}
+        for start in range(26):
+            for pat in range(1, 32, 2):  # LSB set = canonical burst form
+                e = pat << start
+                if e >= (1 << 26):
+                    continue
+                table[crc10(e >> 10) ^ (e & 0x3FF)] = e
+        _BURST_TABLE = table
+    return _BURST_TABLE
+
+
+def correct_block(bits26: np.ndarray, offset: str):
+    """Validate 26 bits against a KNOWN offset word, correcting one burst
+    of up to 5 bits.  Returns (info word, n_corrected_bits) or None.
+
+    Correction only makes sense once block sync is established (the offset
+    is known); trying all five offsets during acquisition would multiply
+    the false-correction rate, so :func:`sync_and_parse` and the
+    synchronizer's search phase stay exact-match."""
+    word = 0
+    for b in bits26:
+        word = (word << 1) | int(b)
+    info, check = word >> 10, word & 0x3FF
+    syndrome = check ^ crc10(info) ^ OFFSET_WORDS[offset]
+    if syndrome == 0:
+        return info, 0
+    e = _burst_table().get(syndrome)
+    if e is None:
+        return None
+    return (word ^ e) >> 10, int(bin(e).count("1"))
+
+
 def _block_offset(bits26: np.ndarray) -> str | None:
     info = 0
     for b in bits26[:16]:
@@ -293,17 +336,21 @@ class GroupSynchronizer:
     :func:`sync_and_parse` cannot provide on an unbounded stream).
     """
 
-    def __init__(self, max_bad_groups: int = 4):
+    def __init__(self, max_bad_groups: int = 4, correct: bool = True):
         self._bits = np.zeros(0, np.uint8)
         self._max_bad = max_bad_groups
+        self._correct = correct
         self.synced = False
         self._bad_run = 0
         self.groups_ok = 0
         self.groups_bad = 0
+        self.blocks_corrected = 0  # blocks repaired by burst correction
+        self.bits_corrected = 0
 
     @staticmethod
     def _group_at(bits: np.ndarray, pos: int):
-        """Validate 104 bits at pos; return the 4 info words or None."""
+        """Exact-validate 104 bits at pos; return the 4 info words or None.
+        (Acquisition path: no correction, see :func:`correct_block`.)"""
         words = []
         for blk, want in enumerate(("A", "B", None, "D")):
             w26 = bits[pos + 26 * blk: pos + 26 * (blk + 1)]
@@ -314,6 +361,31 @@ class GroupSynchronizer:
             for b in w26[:16]:
                 info = (info << 1) | int(b)
             words.append(info)
+        return tuple(words)
+
+    def _group_at_corrected(self, bits: np.ndarray, pos: int):
+        """Validate with known offsets + burst correction (synced path)."""
+        words = []
+        n_corr_blocks = n_corr_bits = 0
+        for blk, want in enumerate(("A", "B", None, "D")):
+            w26 = bits[pos + 26 * blk: pos + 26 * (blk + 1)]
+            if want is None:
+                r = correct_block(w26, "C")
+                if r is None or r[1]:  # ambiguous C/C': prefer clean C'
+                    r2 = correct_block(w26, "C'")
+                    if r2 is not None and (r is None or r2[1] < r[1]):
+                        r = r2
+            else:
+                r = correct_block(w26, want)
+            if r is None:
+                return None
+            info, nbits = r
+            if nbits:
+                n_corr_blocks += 1
+                n_corr_bits += nbits
+            words.append(info)
+        self.blocks_corrected += n_corr_blocks
+        self.bits_corrected += n_corr_bits
         return tuple(words)
 
     def feed(self, bits: np.ndarray) -> list[tuple[int, int, int, int]]:
@@ -339,7 +411,8 @@ class GroupSynchronizer:
                 self._bad_run = 0
             if len(self._bits) < 104:
                 return out
-            g = self._group_at(self._bits, 0)
+            g = (self._group_at_corrected(self._bits, 0) if self._correct
+                 else self._group_at(self._bits, 0))
             self._bits = self._bits[104:]
             if g is not None:
                 out.append(g)

@@ -220,19 +220,26 @@ class RtlTcpServer:
                     stream, addr = listener.accept()
                 except socket.timeout:
                     continue
+                # Reserve the slot BEFORE the handshake: a client may act
+                # on its accepted connection (even close it) the moment
+                # the handshake bytes arrive, so the session must already
+                # be counted by then or a racing connect sees a free slot
+                # that is about to be consumed.
+                sess = _ClientSession(stream, addr, self.queue_limit)
                 with self._sessions_lock:
                     n = len(self._sessions)
+                    if n < self.max_clients:
+                        self._sessions.append(sess)
                 if n >= self.max_clients:
                     log.warning("Refusing client %s: server full (%d)",
                                 addr, self.max_clients)
                     stream.close()
                     continue
-                sess = self._start_session(stream, addr)
-                if sess is not None:
-                    with self._sessions_lock:
-                        self._sessions.append(sess)
+                if self._start_session(sess):
                     log.info("Client accepted from %s (%d active)", addr,
                              n + 1)
+                else:
+                    sess.stop.set()  # reaper removes the reserved slot
         finally:
             acq.join(timeout=3.0)
             with self._sessions_lock:
@@ -240,30 +247,30 @@ class RtlTcpServer:
             for s in sessions:
                 s.finish()
 
-    def _start_session(self, stream: socket.socket, addr):
+    def _start_session(self, sess: _ClientSession) -> bool:
+        """Handshake a slot-reserved session and start its threads."""
         try:
             with self._sdr_lock:
                 gains = self.sdr.get_tuner_gains()
                 tuner_type = TUNER_TYPE_CODES.get(self.sdr.get_tuner_id(), 0)
-            send_handshake(stream, tuner_type, len(gains))
+            send_handshake(sess.stream, tuner_type, len(gains))
         except OSError as e:
-            log.warning("Handshake to %s failed: %s", addr, e)
-            stream.close()
-            return None
-        sess = _ClientSession(stream, addr, self.queue_limit)
+            log.warning("Handshake to %s failed: %s", sess.addr, e)
+            return False
         last_gain = self.default_gain if self.default_gain is not None else (
             gains[0] if gains else 0)
         ctl = {"manual": self.default_gain is not None,
                "last_gain": last_gain, "gains": gains}
         sess.sender = threading.Thread(
             target=self._sender_loop,
-            args=(stream, sess.queue, sess.stop, sess.errors), daemon=True)
+            args=(sess.stream, sess.queue, sess.stop, sess.errors),
+            daemon=True)
         sess.commander = threading.Thread(
             target=self._command_loop,
-            args=(stream, ctl, sess.stop, sess.errors), daemon=True)
+            args=(sess.stream, ctl, sess.stop, sess.errors), daemon=True)
         sess.sender.start()
         sess.commander.start()
-        return sess
+        return True
 
     def _reap_sessions(self) -> None:
         with self._sessions_lock:
