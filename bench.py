@@ -33,10 +33,26 @@ from functools import partial
 
 import numpy as np
 
+import os
+
 TARGET_MSPS = 500.0
 N_COMPLEX = 6 * 85 * 24576  # ~12.5M complex samples (~25 MB u8) per block
 N_SHORT, N_LONG = 4, 16
 MAX_ESCALATIONS = 4
+# Soft wall-clock budget: the driver gives one bench invocation bounded
+# time; paths run in priority order and optional extras are skipped when
+# the budget is spent, so a throttled-tunnel phase degrades the extras,
+# never the headline numbers.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_START = time.monotonic()
+
+
+def _left() -> float:
+    return BUDGET_S - (time.monotonic() - _START)
+
+
+class _BudgetExceeded(Exception):
+    """Raised between dispatches once the wall-clock budget is spent."""
 
 
 def _diff_time(run) -> tuple[float, str]:
@@ -44,20 +60,43 @@ def _diff_time(run) -> tuple[float, str]:
 
     ``run(n)`` must execute one n-iteration scan dispatch and return wall
     seconds including a host readback of the final carry.
+
+    Budget safety: the tunnel has throttled phases (including the first
+    minute or two of a fresh process) where everything runs 10-1000x
+    slower; escalating run lengths there would burn the whole budget on
+    one dispatch.  Every dispatch is budget-gated, escalation stops once
+    the projected next long run exceeds ~30 s, and the best upper bound
+    seen so far is returned when time runs out mid-path.
     """
+    best_ub = float("inf")
+
+    def guarded(n: int) -> float:
+        if _left() <= 0:
+            raise _BudgetExceeded
+        nonlocal best_ub
+        t = run(n)
+        best_ub = min(best_ub, t / n)
+        return t
+
     n_s, n_l = N_SHORT, N_LONG
-    run(n_s)  # compile
-    t_l = run(n_l)  # compile + first timing signal
-    for _ in range(MAX_ESCALATIONS):
-        t_s = min(run(n_s) for _ in range(3))
-        t_l = min(run(n_l) for _ in range(3))
-        d = (t_l - t_s) / (n_l - n_s)
-        if d > 0 and (t_l - t_s) >= t_s:
-            # iteration work dominates the fixed latency: clean measurement
-            return d, "differenced"
-        # fixed dispatch+readback latency still swamps the delta: escalate
-        n_s, n_l = n_l, n_l * 4
-    return t_l / n_l, "upper_bound"
+    try:
+        guarded(n_s)  # compile
+        t_l = guarded(n_l)  # compile + first timing signal
+        for _ in range(MAX_ESCALATIONS):
+            t_s = min(guarded(n_s) for _ in range(3))
+            t_l = min(guarded(n_l) for _ in range(3))
+            d = (t_l - t_s) / (n_l - n_s)
+            if d > 0 and (t_l - t_s) >= t_s:
+                # iteration work dominates the fixed latency: clean number
+                return d, "differenced"
+            if t_l * 4 > min(30.0, _left() / 8):
+                break  # escalating would not fit the phase/budget
+            # fixed dispatch+readback latency swamps the delta: escalate
+            n_s, n_l = n_l, n_l * 4
+    except _BudgetExceeded:
+        if best_ub == float("inf"):
+            raise
+    return best_ub, "upper_bound"
 
 
 def bench_xla(host_block, precision: str):
@@ -91,16 +130,17 @@ def bench_xla(host_block, precision: str):
     return _diff_time(run)
 
 
-def bench_pallas(host_block):
+def bench_pallas(host_block, chunks_per_step: int = 2):
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from tpu_sdr.ops import pallas_fm
 
-    # chunks_per_step=2 sweeps fastest on hardware: M=340 matmul rows and
-    # half the grid steps vs the default geometry
-    spec = pallas_fm.default_spec(chunks_per_step=2)
+    # Geometry matters ~15-20% and drifts with tunnel phase; main() sweeps
+    # chunks_per_step in {2, 8} and reports the best (interleaved A/B
+    # 2026-08-20: G=8 won 5/6 clean reps by ~0.83x median).
+    spec = pallas_fm.default_spec(chunks_per_step=chunks_per_step)
     if host_block.size % spec.chunk_bytes:
         return None
     d16 = jax.device_put(pallas_fm.view_u8_as_i16(host_block, spec))
@@ -132,18 +172,45 @@ def bench_pallas(host_block):
 
 
 def main() -> None:
+    import pathlib
+
     import jax
+
+    # Persistent compilation cache (same dir tests use): a cold compile
+    # through a throttled tunnel phase has been observed to take >8 min —
+    # warm runs must not pay it again.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).resolve().parent
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     rng = np.random.default_rng(0)
     host_block = rng.integers(0, 256, size=2 * N_COMPLEX, dtype=np.uint8)
 
     results = {}
     timing = {}
-    if jax.default_backend() == "tpu":
+
+    # Watchdog: a dispatch blocked inside a hard-throttled tunnel phase
+    # cannot be preempted by the in-line budget checks, so after
+    # BUDGET_S + 120 s a timer thread prints whatever was measured (ONE
+    # JSON line, as the driver requires) and force-exits.
+    import threading
+
+    def _dump_and_exit():
+        _emit(dict(results), dict(timing), watchdog=True)
+        os._exit(0)
+
+    watchdog = threading.Timer(BUDGET_S + 120, _dump_and_exit)
+    watchdog.daemon = True
+    watchdog.start()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         try:
-            r = bench_pallas(host_block)
+            r = bench_pallas(host_block, chunks_per_step=2)
             if r:
                 results["pallas"], timing["pallas"] = r
+                timing["pallas_geometry"] = "chunks_per_step=2"
         except Exception:
             pass
     try:
@@ -151,11 +218,37 @@ def main() -> None:
             host_block, "split_bf16")
     except Exception:
         pass
-    results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
+    try:
+        results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
+    except Exception:
+        pass
+    # optional extra geometry, only if the budget allows (~15% candidate)
+    if on_tpu and _left() > 120:
+        try:
+            r = bench_pallas(host_block, chunks_per_step=8)
+            if r and ("pallas" not in results or r[0] < results["pallas"]):
+                results["pallas"], timing["pallas"] = r
+                timing["pallas_geometry"] = "chunks_per_step=8"
+        except Exception:
+            pass
 
+    watchdog.cancel()
+    _emit(results, timing)
+
+
+def _emit(results, timing, watchdog: bool = False) -> None:
+    if not results:
+        print(json.dumps({
+            "metric": "wbfm_chain_throughput", "value": 0.0,
+            "unit": "complex Msamples/s/chip", "vs_baseline": 0.0,
+            "path": "none",
+            "error": "no path completed within budget"
+                     + (" (watchdog)" if watchdog else ""),
+        }), flush=True)
+        return
     path, dt = min(results.items(), key=lambda kv: kv[1])
     msps = N_COMPLEX / dt / 1e6
-    print(json.dumps({
+    line = {
         "metric": "wbfm_chain_throughput",
         "value": round(msps, 2),
         "unit": "complex Msamples/s/chip",
@@ -164,7 +257,10 @@ def main() -> None:
         "all_paths_msps": {k: round(N_COMPLEX / v / 1e6, 1)
                            for k, v in results.items()},
         "timing": timing,
-    }))
+    }
+    if watchdog:
+        line["note"] = "watchdog fired: remaining paths skipped"
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
