@@ -54,6 +54,32 @@ def test_pallas_halo_left_edge_carry():
     np.testing.assert_allclose(got[1], np.arange(28, 32, dtype=np.float32))
 
 
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_ring_shift_matches_ppermute(n_dev):
+    """Circular ring shift (the single-chip DMA smoke) vs the ppermute
+    permutation, interpreted on the virtual mesh; n_dev=1 is the self-copy
+    degenerate ring the TPU tier executes compiled."""
+    from jax import lax
+    from jax.experimental.pallas import tpu as pltpu
+
+    try:
+        from tpu_sdr.parallel.pallas_halo import ring_shift_pallas
+        mesh = mesh_mod.make_mesh(dp=1, sp=n_dev)
+        x = jnp.arange(n_dev * 32, dtype=jnp.float32)
+        got = jax.jit(jax.shard_map(
+            lambda xs: ring_shift_pallas(xs, "sp",
+                                         interpret=pltpu.InterpretParams()),
+            mesh=mesh, in_specs=P("sp"), out_specs=P("sp"),
+            check_vma=False))(x)
+    except Exception as e:  # interpreter lacks distributed emulation
+        pytest.skip(f"pallas distributed interpret unavailable: {e}")
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    exp = jax.jit(jax.shard_map(
+        lambda xs: lax.ppermute(xs, "sp", perm), mesh=mesh,
+        in_specs=P("sp"), out_specs=P("sp"), check_vma=False))(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
 def test_fallback_path_matches_reference():
     from tpu_sdr.parallel.pallas_halo import pull_left_halo_pallas
 

@@ -144,6 +144,59 @@ def test_mosaic_remote_dma_halo():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
 
+def test_mosaic_remote_dma_self_ring():
+    """``make_async_remote_copy`` COMPILED AND EXECUTED on hardware: the
+    circular ring shift on a 1-device mesh is a remote copy addressed to
+    self, so the DMA engine actually fires (unlike the n==1 halo shortcut,
+    which never launches the kernel).  Must equal the ppermute ring."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_sdr.parallel import mesh as mesh_mod
+    from tpu_sdr.parallel.pallas_halo import ring_shift_pallas
+
+    devs = jax.devices()
+    n = len(devs)
+    mesh = mesh_mod.make_mesh(dp=1, sp=n, devices=devs)
+    x = jnp.arange(n * 1024, dtype=jnp.float32)
+
+    got = jax.jit(jax.shard_map(
+        lambda xs: ring_shift_pallas(xs, "sp"), mesh=mesh,
+        in_specs=P("sp"), out_specs=P("sp")))(x)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    exp = jax.jit(jax.shard_map(
+        lambda xs: lax.ppermute(xs, "sp", perm), mesh=mesh,
+        in_specs=P("sp"), out_specs=P("sp")))(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+
+
+def test_mosaic_sharded_chain_dma_halo_single_chip(capture):
+    """The production sharded chain with halo_impl='dma' compiled for the
+    real chip: Mosaic compiles the remote-copy halo kernel inside the same
+    program as the fused demod kernel (degenerate sp=1 mesh)."""
+    import jax
+
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.ops import pallas_fm
+    from tpu_sdr.parallel import mesh as mesh_mod
+    from tpu_sdr.parallel.wbfm_sharded_pallas import (
+        make_sharded_wbfm_pallas, sharded_wbfm_pallas_apply)
+
+    mesh = mesh_mod.make_mesh(dp=1, sp=1, devices=jax.devices()[:1])
+    chain = make_sharded_wbfm_pallas(mesh, wbfm.WbfmConfig(filter_mode="fir"),
+                                     halo_impl="dma")
+    blocks = capture[None, :]
+    audio, counts = sharded_wbfm_pallas_apply(chain, blocks)
+    got = chain.assemble(audio, counts)
+
+    serial = pallas_fm.PallasWbfmStreamer(interpret=False)
+    exp = serial.demodulate(capture)[None, :]
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
 def test_mosaic_sharded_chain_single_chip(capture):
     """The production sharded Pallas chain compiled for the real chip
     (sp=1 degenerate mesh): Mosaic kernel + edge-carry wiring."""

@@ -73,6 +73,15 @@ def _halo_kernel(axis_name: str, tail_ref, out_ref, send_sem, recv_sem):
         copy.wait_recv()
 
 
+def _collective_params(axis_name: str, collective_id: int):
+    """Mosaic wants a collective_id (barrier) only for true multi-device
+    launches; a 1-shard axis must leave it unset."""
+    multi = lax.axis_size(axis_name) > 1  # static mesh extent
+    return pltpu.CompilerParams(
+        has_side_effects=True,
+        collective_id=collective_id if multi else None)
+
+
 def _pull_left_halo_remote_dma(x: jax.Array, halo: int, axis_name: str,
                                interpret=False):
     tail = x[x.shape[0] - halo:].reshape(1, halo)
@@ -90,8 +99,7 @@ def _pull_left_halo_remote_dma(x: jax.Array, halo: int, axis_name: str,
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=13),
+        compiler_params=_collective_params(axis_name, 13),
         interpret=interpret,
     )(tail)
     return out.reshape(halo)
@@ -100,7 +108,8 @@ def _pull_left_halo_remote_dma(x: jax.Array, halo: int, axis_name: str,
 def pull_left_halo_pallas(x: jax.Array, halo: int, axis_name: str,
                           left_edge: jax.Array | None = None,
                           on_tpu: bool | None = None,
-                          force: bool = False) -> jax.Array:
+                          force: bool = False,
+                          force_kernel: bool = False) -> jax.Array:
     """Left-neighbor tail via Pallas remote DMA (ppermute fallback off-TPU).
 
     Must be called inside ``shard_map`` over ``axis_name``.  Semantics match
@@ -111,14 +120,17 @@ def pull_left_halo_pallas(x: jax.Array, halo: int, axis_name: str,
     'tpu'``).  When None, falls back to inspecting the default backend —
     which can be wrong for CPU fallback meshes under a TPU-default process.
     ``force=True`` runs the kernel even off-TPU (under the Pallas TPU
-    interpreter; used by tests).
+    interpreter; used by tests).  ``force_kernel=True`` launches the kernel
+    even on a 1-shard axis (where the exchange is vacuous and normally
+    short-circuited to zeros) so single-chip environments still compile and
+    execute the Mosaic remote-copy program.
     """
     if on_tpu is None:
         on_tpu = jax.default_backend() == "tpu"
     if not force and not on_tpu:
         return _halo.pull_left_halo(x, halo, axis_name, left_edge)
     n_shards = lax.axis_size(axis_name)
-    if n_shards == 1:
+    if n_shards == 1 and not force_kernel:
         received = jnp.zeros((halo,), x.dtype)
     else:
         received = _pull_left_halo_remote_dma(
@@ -128,3 +140,56 @@ def pull_left_halo_pallas(x: jax.Array, halo: int, axis_name: str,
         idx = lax.axis_index(axis_name)
         received = jnp.where(idx == 0, left_edge, received)
     return received
+
+
+def _ring_kernel(axis_name: str, src_ref, out_ref, send_sem, recv_sem):
+    """Circular neighbor shift: every shard sends to (me + 1) % n and
+    receives from its left neighbor.  Unlike the halo kernel, every shard
+    both sends and receives, so the DMA fires even on a 1-shard axis (a
+    remote copy addressed to self — the degenerate ring)."""
+    my_id = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    copy = pltpu.make_async_remote_copy(
+        src_ref=src_ref,
+        dst_ref=out_ref,
+        send_sem=send_sem,
+        recv_sem=recv_sem,
+        device_id={axis_name: (my_id + 1) % n},
+        device_id_type=pltpu.DeviceIdType.MESH,
+    )
+    copy.start()
+    copy.wait_send()
+    copy.wait_recv()
+
+
+def ring_shift_pallas(x: jax.Array, axis_name: str,
+                      interpret=False) -> jax.Array:
+    """Circular shard shift via remote DMA: shard i's ``x`` lands on shard
+    ``(i + 1) % n`` (each shard returns its LEFT neighbor's data, wrapping).
+
+    Must be called inside ``shard_map`` over ``axis_name``.  Equivalent to
+    ``lax.ppermute(x, axis_name, [(i, (i+1) % n) ...])`` but expressed as a
+    Mosaic ``make_async_remote_copy`` over ICI.  On a 1-shard axis the ring
+    degenerates to a DMA self-copy (out == x) — the single-chip smoke the
+    TPU hardware tier uses to prove the remote-copy program compiles and
+    the DMA engine executes it.
+    """
+    flat = x.reshape(1, -1)
+    try:
+        out_shape = jax.ShapeDtypeStruct(flat.shape, flat.dtype,
+                                         vma=frozenset({axis_name}))
+    except TypeError:  # older JAX without vma tracking
+        out_shape = jax.ShapeDtypeStruct(flat.shape, flat.dtype)
+    out = pl.pallas_call(
+        partial(_ring_kernel, axis_name),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=_collective_params(axis_name, 14),
+        interpret=interpret,
+    )(flat)
+    return out.reshape(x.shape)

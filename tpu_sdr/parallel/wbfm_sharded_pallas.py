@@ -114,9 +114,13 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
         edge = jnp.zeros((st, ROWS, 128), jnp.float32).at[:, 2, 127].set(1.0)
         flat = end_state.reshape(-1)
         if use_dma:
+            # Explicit halo_impl="dma" launches the kernel even on a 1-shard
+            # sp axis (single-chip proof that the Mosaic remote-copy program
+            # compiles/executes); "auto" keeps the vacuous-exchange shortcut.
             recv = pull_left_halo_pallas(flat, flat.shape[0], "sp",
                                          edge.reshape(-1), on_tpu=on_tpu,
-                                         force=not on_tpu)
+                                         force=not on_tpu,
+                                         force_kernel=halo_impl == "dma")
         else:
             recv = pull_left_halo(flat, flat.shape[0], "sp", edge.reshape(-1))
         states = recv.reshape(st, ROWS, 128)
