@@ -233,3 +233,83 @@ def test_correct_block_direct():
     info, n = R.correct_block(blk2, "B")
     assert info == 0x1234 and n == 2
     assert R.correct_block(blk2, "A") != (0x1234, 2)  # wrong offset
+
+
+def test_pty_name_event():
+    txt = R.RdsText()
+    events = txt.update((0x1234, (0 << 12) | (4 << 5) | 0, 0xE0E0, 0x4142))
+    assert "PTY: 4 (Sport)" in events
+    assert R.PTY_NAMES[31] == "Alarm" and len(R.PTY_NAMES) == 32
+
+
+def test_af_list_assembly():
+    """Method-A AF list over two 0A groups: count code 224+3, then three
+    frequency codes (one per word C byte, filler 205 ignored)."""
+    txt = R.RdsText()
+    # word C = (224+3)<<8 | code(98.5 MHz = 87.5 + 0.1*110 -> code 110)
+    ev1 = txt.update((0x1234, 0 << 12, (227 << 8) | 110, 0x4142))
+    assert txt.af is None and not any(e.startswith("AF:") for e in ev1)
+    # codes for 87.6 (1) and 107.9 (204); list completes here
+    ev2 = txt.update((0x1234, (0 << 12) | 1, (1 << 8) | 204, 0x4344))
+    assert txt.af == [87.6, 98.5, 107.9]
+    assert "AF: 87.6, 98.5, 107.9 MHz" in ev2
+    # repeat of the same list: no duplicate event
+    txt.update((0x1234, 0 << 12, (227 << 8) | 110, 0x4142))
+    ev4 = txt.update((0x1234, (0 << 12) | 1, (1 << 8) | 204, 0x4344))
+    assert not any(e.startswith("AF:") for e in ev4)
+
+
+def test_af_ignores_fillers_and_0b():
+    txt = R.RdsText()
+    # 0B group (version B): word C is the PI repeat, must NOT be parsed as AF
+    txt.update((0x1234, (0 << 12) | (1 << 11), (227 << 8) | 110, 0x4142))
+    assert txt._af_expect == 0
+    # fillers (205) and the LF/MF escape (250) don't contribute entries:
+    # count 2 announced, but only one real carrier (code 90 = 96.5 MHz)
+    # arrives, so the list stays open and no event fires
+    txt.update((0x1234, 0 << 12, (226 << 8) | 205, 0x4142))
+    txt.update((0x1234, 0 << 12, (250 << 8) | 90, 0x4344))
+    assert txt.af is None
+    assert txt._af_partial == [96.5]
+
+
+def test_ct_clock_time_group():
+    """4A clock-time: 2026-08-20 10:30 UTC+2 (MJD 61272)."""
+    year, month, day = R.mjd_to_date(61272)
+    assert (year, month, day) == (2026, 8, 20)
+    txt = R.RdsText()
+    events = txt.update((0x1234, (4 << 12) | ((61272 >> 15) & 0x3),
+                         ((61272 & 0x7FFF) << 1) | (10 >> 4),
+                         ((10 & 0xF) << 12) | (30 << 6) | 4))
+    assert "CT: 2026-08-20 10:30 UTC+2:00" in events
+    # same time again: no duplicate event
+    assert not txt.update((0x1234, (4 << 12) | ((61272 >> 15) & 0x3),
+                           ((61272 & 0x7FFF) << 1) | (10 >> 4),
+                           ((10 & 0xF) << 12) | (30 << 6) | 4))
+
+
+def test_ct_negative_offset_and_zero_mjd():
+    txt = R.RdsText()
+    g = R.make_group_4a(0x1234, 61272, 23, 59, offset_half_hours=-11)
+    # decode the encoded group via the block layer to close the loop
+    words = R.sync_and_parse(np.concatenate([g] * 4))
+    assert words and words[0][0] == 0x1234
+    events = txt.update(words[0])
+    assert "CT: 2026-08-20 23:59 UTC-5:30" in events
+    # MJD 0 = "no date": ignored per spec (PI/PTY events still fire)
+    txt2 = R.RdsText()
+    ev = txt2.update((0x1234, 4 << 12, 0 | 0, (5 << 12) | (1 << 6)))
+    assert not any(e.startswith("CT:") for e in ev)
+    assert txt2.ct is None
+
+
+def test_ct_through_stream_decoder():
+    """CT groups through the full physical layer: multiplex -> stream
+    decoder -> clock-time event."""
+    groups = [R.make_group_4a(0xF201, 61272, 10, 30, offset_half_hours=4)
+              for _ in range(4)]
+    bits = _groups_bits(groups, repeats=3)
+    mpx, _ = _synth_mpx(len(bits), bits=bits)
+    rx = R.RdsStreamDecoder()
+    events = rx.feed_mpx(mpx)
+    assert any(e == "CT: 2026-08-20 10:30 UTC+2:00" for e in events), events

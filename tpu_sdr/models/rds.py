@@ -427,6 +427,33 @@ class GroupSynchronizer:
 
 PTY_NONE = 0
 
+# RDS (IEC 62106 / EBU) programme-type names, codes 0-31.
+PTY_NAMES = (
+    "None", "News", "Current Affairs", "Information", "Sport", "Education",
+    "Drama", "Culture", "Science", "Varied", "Pop Music", "Rock Music",
+    "Easy Listening", "Light Classical", "Serious Classical", "Other Music",
+    "Weather", "Finance", "Children's Programmes", "Social Affairs",
+    "Religion", "Phone-In", "Travel", "Leisure", "Jazz Music",
+    "Country Music", "National Music", "Oldies Music", "Folk Music",
+    "Documentary", "Alarm Test", "Alarm",
+)
+
+
+def af_code_mhz(code: int) -> float | None:
+    """Alternative-frequency code (1-204) -> carrier MHz, else None."""
+    if 1 <= code <= 204:
+        return round(87.5 + 0.1 * code, 1)
+    return None
+
+
+def mjd_to_date(mjd: int) -> tuple[int, int, int]:
+    """Modified Julian Day -> (year, month, day) (IEC 62106 annex G)."""
+    yp = int((mjd - 15078.2) / 365.25)
+    mp = int((mjd - 14956.1 - int(yp * 365.25)) / 30.6001)
+    day = mjd - 14956 - int(yp * 365.25) - int(mp * 30.6001)
+    k = 1 if mp in (14, 15) else 0
+    return 1900 + yp + k, mp - 1 - 12 * k, day
+
 
 class RdsText:
     """Assemble program service name (PS) and RadioText (RT) from groups.
@@ -434,7 +461,10 @@ class RdsText:
     Group type 0 (A/B) carries PS two chars per group in word D, segment in
     the low 2 bits of word B; type 2A carries RT four chars per group in
     words C+D (2B: two chars in D), segment in the low 4 bits of B, with a
-    text A/B toggle that clears the buffer on change.
+    text A/B toggle that clears the buffer on change.  Type 0A's word C
+    carries the alternative-frequency list (method-A: a 224+N count code
+    followed by N frequency codes); type 4A is clock-time/date (MJD +
+    UTC hour/minute + signed half-hour local offset).
     """
 
     def __init__(self):
@@ -445,6 +475,10 @@ class RdsText:
         self._rt_flag: int | None = None
         self.ps: str | None = None   # last completed PS
         self.rt: str | None = None   # last completed (or grown) RT
+        self._af_expect: int = 0     # announced AF count (method A)
+        self._af_partial: list[float] = []
+        self.af: list[float] | None = None  # last completed AF list (MHz)
+        self.ct: str | None = None   # last decoded clock-time string
 
     @staticmethod
     def _chars(word: int) -> list[str]:
@@ -460,9 +494,12 @@ class RdsText:
         pty = (b >> 5) & 0x1F
         if pty != self.pty:
             self.pty = pty
-            events.append(f"PTY: {pty}")
+            events.append(f"PTY: {pty} ({PTY_NAMES[pty]})")
         gtype, version_b = b >> 12, (b >> 11) & 1
         if gtype == 0:
+            if not version_b:  # 0A word C: two AF codes (method A)
+                events.extend(self._feed_af((c >> 8) & 0xFF))
+                events.extend(self._feed_af(c & 0xFF))
             seg = b & 0x3
             self._ps[2 * seg: 2 * seg + 2] = self._chars(d)
             if None not in self._ps:
@@ -490,7 +527,52 @@ class RdsText:
                 if rt and rt != self.rt:
                     self.rt = rt
                     events.append(f"RT: {rt!r}")
+        elif gtype == 4 and not version_b:
+            events.extend(self._decode_ct(b, c, d))
         return events
+
+    def _feed_af(self, code: int) -> list[str]:
+        """One AF code (method A): 224+N announces an N-entry list, 1-204
+        are carrier frequencies, everything else (filler 205, LF/MF escape
+        250, unused 0) is skipped."""
+        if 225 <= code <= 249:
+            self._af_expect = code - 224
+            self._af_partial = []
+            return []
+        mhz = af_code_mhz(code)
+        if mhz is None or self._af_expect == 0:
+            return []
+        if mhz not in self._af_partial:
+            self._af_partial.append(mhz)
+        if len(self._af_partial) >= self._af_expect:
+            done = sorted(self._af_partial)
+            self._af_expect = 0
+            self._af_partial = []
+            if done != self.af:
+                self.af = done
+                return ["AF: " + ", ".join(f"{f:.1f}" for f in done) + " MHz"]
+        return []
+
+    def _decode_ct(self, b: int, c: int, d: int) -> list[str]:
+        """Type 4A clock-time: 17-bit MJD (B[1:0] high, C[15:1] low), 5-bit
+        UTC hour (C[0] high, D[15:12] low), 6-bit minute D[11:6], signed
+        half-hour local offset D[5:0]."""
+        mjd = ((b & 0x3) << 15) | (c >> 1)
+        if mjd == 0:  # transmitter has no date — per spec, ignore
+            return []
+        hour = ((c & 1) << 4) | (d >> 12)
+        minute = (d >> 6) & 0x3F
+        off_half = d & 0x1F
+        offset = -off_half if (d >> 5) & 1 else off_half
+        year, month, day = mjd_to_date(mjd)
+        sign = "+" if offset >= 0 else "-"
+        ct = (f"{year:04d}-{month:02d}-{day:02d} {hour:02d}:{minute:02d} "
+              f"UTC{sign}{abs(offset) // 2}"
+              + (":30" if abs(offset) % 2 else ":00"))
+        if ct == self.ct:
+            return []
+        self.ct = ct
+        return [f"CT: {ct}"]
 
 
 class RdsStreamDecoder:
@@ -558,6 +640,17 @@ def make_group_0a(pi: int, pty: int, segment: int, ps_pair: str,
     b = (0 << 12) | ((pty & 0x1F) << 5) | (segment & 0x3)
     d = (ord(ps_pair[0]) << 8) | ord(ps_pair[1])
     return make_group((pi, b, af, d))
+
+
+def make_group_4a(pi: int, mjd: int, hour: int, minute: int,
+                  offset_half_hours: int = 0, pty: int = 0) -> np.ndarray:
+    """Encode one type-4A clock-time group (inverse of the CT decoder)."""
+    b = (4 << 12) | ((pty & 0x1F) << 5) | ((mjd >> 15) & 0x3)
+    c = ((mjd & 0x7FFF) << 1) | ((hour >> 4) & 1)
+    sign = 1 if offset_half_hours < 0 else 0
+    d = ((hour & 0xF) << 12) | ((minute & 0x3F) << 6) | (sign << 5) | (
+        abs(offset_half_hours) & 0x1F)
+    return make_group((pi, b, c, d))
 
 
 def make_group_2a(pi: int, pty: int, segment: int, rt_quad: str,
