@@ -177,7 +177,9 @@ def test_simple_fm_stereo_rds(tmp_path, capsys):
     pcm = np.frombuffer(audio, dtype="<i2").astype(np.float64)
     left = pcm[0::2]
     snr = synth.tone_snr(left, 800.0, 32_000, skip=2000)
-    assert snr > 14, f"stereo L channel degraded: {snr:.1f} dB"
+    # measured 36.7 dB with the wideband (340 kHz) stereo front end on this
+    # short RDS-bearing capture; floor leaves ~6 dB margin
+    assert snr > 30, f"stereo L channel degraded: {snr:.1f} dB"
     err = capsys.readouterr().err
     assert f"[rds] PI: {pi:04X}" in err
     assert f"[rds] PS: '{ps}'" in err

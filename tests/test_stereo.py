@@ -1,5 +1,11 @@
 """Stereo WBFM decode: pilot-tone carrier recovery, channel separation,
-streaming invariance.  (Capability beyond the reference's mono chain.)"""
+de-emphasis, streaming invariance.  (Capability beyond the reference's
+mono chain.)
+
+Quality floors come from measured clean-room numbers on the default
+wideband (340 kHz) front end, 2026-08-20: L-only tone separation 40.9 dB,
+L SNR 59.6 dB; floors leave ~5 dB margin.
+"""
 
 import numpy as np
 import pytest
@@ -8,19 +14,33 @@ from tpu_sdr.models import wbfm_stereo as ST
 from tpu_sdr.utils import synth
 
 
-def _tone_power_db(x, freq, fs, skip=400):
+def _tone_amp(x, freq, fs, skip=2000):
     x = np.asarray(x, np.float64)[skip:]
     x = x - x.mean()
     t = np.arange(len(x)) / fs
-    c = np.abs(np.vdot(np.exp(2j * np.pi * freq * t), x)) / len(x)
-    return 20 * np.log10(max(c, 1e-12))
+    cs, sn = np.cos(2 * np.pi * freq * t), np.sin(2 * np.pi * freq * t)
+    a = 2 * np.dot(x, cs) / len(x)
+    b = 2 * np.dot(x, sn) / len(x)
+    return np.hypot(a, b), a * cs + b * sn
+
+
+def _tone_snr_db(x, freq, fs, skip=2000):
+    x = np.asarray(x, np.float64)[skip:]
+    x = x - x.mean()
+    _amp, tone = _tone_amp(x, freq, fs, skip=0)
+    resid = x - tone
+    return 10 * np.log10(np.dot(tone, tone) / np.dot(resid, resid))
+
+
+def _synth_len(config, n):
+    q = config.base.decim * config.base.resample_down
+    return (n // q) * q
 
 
 @pytest.fixture(scope="module")
 def decoded():
     config = ST.StereoConfig()
-    quantum = 2 * config.base.decim * config.base.resample_down  # 1020 bytes
-    n = (600_000 // (quantum // 2)) * (quantum // 2)
+    n = _synth_len(config, 600_000)
     u8, left, right = synth.synth_wbfm_stereo_u8(n, capture_rate=1_020_000)
     streamer = ST.WbfmStereoStreamer(config)
     audio = streamer.demodulate(u8)
@@ -31,24 +51,66 @@ def test_stereo_channels_recovered(decoded):
     config, audio = decoded
     fs = config.base.rate_resample
     # left tone 800 Hz, right tone 1300 Hz
-    l_in_l = _tone_power_db(audio[0], 800.0, fs)
-    r_in_r = _tone_power_db(audio[1], 1300.0, fs)
-    l_in_r = _tone_power_db(audio[1], 800.0, fs)
-    r_in_l = _tone_power_db(audio[0], 1300.0, fs)
-    sep_l = l_in_l - r_in_l
-    sep_r = r_in_r - l_in_r
-    assert sep_l >= 20.0, f"left separation {sep_l:.1f} dB"
-    assert sep_r >= 20.0, f"right separation {sep_r:.1f} dB"
+    l_in_l, _ = _tone_amp(audio[0], 800.0, fs)
+    r_in_r, _ = _tone_amp(audio[1], 1300.0, fs)
+    l_in_r, _ = _tone_amp(audio[1], 800.0, fs)
+    r_in_l, _ = _tone_amp(audio[0], 1300.0, fs)
+    sep_l = 20 * np.log10(l_in_l / max(l_in_r, 1e-12))
+    sep_r = 20 * np.log10(r_in_r / max(r_in_l, 1e-12))
+    assert sep_l >= 30.0, f"left separation {sep_l:.1f} dB"
+    assert sep_r >= 30.0, f"right separation {sep_r:.1f} dB"
+
+
+def test_stereo_left_only_separation_and_snr():
+    """An L-only tone: the right channel must stay >=35 dB below it and the
+    left channel must carry the tone at >=50 dB SNR — the quantified
+    stereo-quality contract of the wideband front end."""
+    config = ST.StereoConfig()
+    n = _synth_len(config, 600_000)
+    u8, _l, _r = synth.synth_wbfm_stereo_u8(
+        n, capture_rate=1_020_000, left_freq=800.0, right_freq=0.0)
+    audio = ST.WbfmStereoStreamer(config).demodulate(u8)
+    fs = config.base.rate_resample
+    aL, _ = _tone_amp(audio[0], 800.0, fs)
+    aR, _ = _tone_amp(audio[1], 800.0, fs)
+    sep = 20 * np.log10(aL / max(aR, 1e-12))
+    snr = _tone_snr_db(audio[0], 800.0, fs)
+    assert sep >= 35.0, f"L->R separation {sep:.1f} dB"
+    assert snr >= 50.0, f"L channel SNR {snr:.1f} dB"
+
+
+def test_stereo_deemphasis():
+    """75 us de-emphasis: a 9 kHz tone is attenuated ~13 dB relative to a
+    800 Hz tone (|H| ratio of the RC response), while the 800 Hz tone
+    itself moves <1.5 dB."""
+    config = ST.StereoConfig()
+    n = _synth_len(config, 600_000)
+    u8, _l, _r = synth.synth_wbfm_stereo_u8(
+        n, capture_rate=1_020_000, left_freq=800.0, right_freq=9_000.0)
+    flat = ST.WbfmStereoStreamer(config).demodulate(u8)
+    de = ST.WbfmStereoStreamer(
+        ST.StereoConfig(deemphasis_tau=75e-6)).demodulate(u8)
+    fs = config.base.rate_resample
+    a800_flat, _ = _tone_amp(flat[0], 800.0, fs)
+    a800_de, _ = _tone_amp(de[0], 800.0, fs)
+    a9k_flat, _ = _tone_amp(flat[1], 9_000.0, fs)
+    a9k_de, _ = _tone_amp(de[1], 9_000.0, fs)
+    drop_800 = 20 * np.log10(a800_flat / a800_de)
+    drop_9k = 20 * np.log10(a9k_flat / a9k_de)
+    # analytic RC magnitudes at tau=75us: -0.5 dB @800, -13.3 dB @9k
+    assert drop_800 < 1.5, f"800 Hz dropped {drop_800:.1f} dB"
+    assert 10.0 < drop_9k < 17.0, f"9 kHz dropped {drop_9k:.1f} dB"
 
 
 def test_stereo_streaming_invariance():
-    config = ST.StereoConfig()
-    n = 300_000 - (300_000 % 510)
+    config = ST.StereoConfig(deemphasis_tau=75e-6)
+    q = 2 * config.base.decim * config.base.resample_down
+    n = _synth_len(config, 300_000)
     u8, _, _ = synth.synth_wbfm_stereo_u8(n, capture_rate=1_020_000)
     one = ST.WbfmStereoStreamer(config)
     full = one.demodulate(u8)
     two = ST.WbfmStereoStreamer(config)
-    cut = (len(u8) // 2) - ((len(u8) // 2) % 1020)
+    cut = (len(u8) // 2) - ((len(u8) // 2) % q)
     split = np.concatenate(
         [two.demodulate(u8[:cut]), two.demodulate(u8[cut:])], axis=1)
     np.testing.assert_allclose(split[:, :full.shape[1]], full, rtol=2e-3,

@@ -49,13 +49,17 @@ def make_demodulator(mode: str, deemph_us: float = 0.0, rds: bool = False):
         from tpu_sdr.models.wbfm_stereo import StereoConfig, WbfmStereoStreamer
         from tpu_sdr.native import f32_to_s16
 
-        st = WbfmStereoStreamer(StereoConfig(emit_mpx=rds)) if rds \
-            else WbfmStereoStreamer()
+        st_config = StereoConfig(emit_mpx=rds,
+                                 deemphasis_tau=deemph_us * 1e-6)
+        st = WbfmStereoStreamer(st_config)
         rds_rx = None
         if rds:
             from tpu_sdr.models import rds as rds_mod
 
-            rds_rx = rds_mod.RdsStreamDecoder()
+            # the stereo front is wideband (340 kHz multiplex by default);
+            # the RDS decoder's filters must be designed for that rate
+            rds_rx = rds_mod.RdsStreamDecoder(
+                rds_mod.RdsConfig.for_mpx_rate(st_config.base.rate_out))
 
         def demod_stereo(buf: np.ndarray) -> np.ndarray:
             audio = st.demodulate(buf)  # (2, m)

@@ -61,6 +61,21 @@ class RdsConfig:
     def resample_down(self) -> int:
         return self.mpx_rate // math.gcd(self.mpx_rate, RESAMPLE_FS)  # 85
 
+    @classmethod
+    def for_mpx_rate(cls, mpx_rate: int) -> "RdsConfig":
+        """Config for a non-default multiplex rate (e.g. the wideband
+        stereo front end's 340 kHz), scaling tap counts with fs so the
+        filter transition widths stay put."""
+        scale = mpx_rate / 170_000
+
+        def odd(n: float) -> int:
+            return int(round(n)) | 1
+
+        return cls(mpx_rate=mpx_rate,
+                   pilot_taps=odd(257 * scale) if scale != 1 else 257,
+                   sub_taps=odd(257 * scale) if scale != 1 else 257,
+                   post_taps=odd(129 * scale) if scale != 1 else 129)
+
 
 class RdsState(NamedTuple):
     bpf_p: F.FirState
