@@ -267,6 +267,23 @@ def test_blog_v4_detection_and_upconvert():
     assert core.tuner_xtal == 28_800_000  # V4 keeps 28.8 MHz (rtlsdr.rs:97-100)
 
 
+def test_blog_mod_env_flag(monkeypatch):
+    """TPU_SDR_BLOG_MOD=1 (the CI analog of the reference's rtl_sdr_blog
+    cargo feature) flips every api.open to the blog driver variants; an
+    explicit blog_mod argument still wins."""
+    fake.register_fake_device()
+    monkeypatch.setenv("TPU_SDR_BLOG_MOD", "1")
+    with api.RtlSdr.open_with_index(0) as sdr:
+        assert sdr._core.blog_mod is True
+        assert sdr._core.tuner.blog_mod is True
+    monkeypatch.delenv("TPU_SDR_BLOG_MOD")
+    with api.RtlSdr.open_with_index(0) as sdr:
+        assert sdr._core.blog_mod is False
+    monkeypatch.setenv("TPU_SDR_BLOG_MOD", "1")
+    with api.RtlSdr.open(api.DeviceId.index(0), blog_mod=False) as sdr:
+        assert sdr._core.blog_mod is False
+
+
 # ---------------------------------------------------------------------------
 # API facade + enumeration
 # ---------------------------------------------------------------------------

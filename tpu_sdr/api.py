@@ -175,7 +175,14 @@ class RtlSdr:
     # -- constructors ------------------------------------------------------
 
     @classmethod
-    def open(cls, device_id: DeviceId, blog_mod: bool = False) -> "RtlSdr":
+    def open(cls, device_id: DeviceId,
+             blog_mod: bool | None = None) -> "RtlSdr":
+        """``blog_mod`` enables the rtl-sdr-blog driver variants (the
+        reference's ``rtl_sdr_blog`` cargo feature, Cargo.toml); defaults to
+        the ``TPU_SDR_BLOG_MOD=1`` env flag so a whole process/CI leg can
+        run with it on, like building the reference with the feature."""
+        if blog_mod is None:
+            blog_mod = os.environ.get("TPU_SDR_BLOG_MOD") == "1"
         backend = _open_backend(device_id)
         core = core_mod.SdrCore(Device(backend), blog_mod=blog_mod)
         core.init()
