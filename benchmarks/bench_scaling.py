@@ -86,8 +86,16 @@ def bench_sp(sp: int) -> tuple[float, str]:
 
 
 def main() -> None:
+    import argparse
+
     import tpu_sdr  # noqa: F401 — applies TPU_SDR_PLATFORM before jax init
     import jax
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=None, metavar="FILE",
+                    help="also write the JSON record to FILE (the committed "
+                         "SCALING_r<N>.json round artifacts)")
+    args = ap.parse_args()
 
     n_dev = len(jax.devices())
     platform = jax.devices()[0].platform
@@ -99,7 +107,7 @@ def main() -> None:
     base = msps[1]
     eff = {n: round(msps[n] / (n * base), 4) for n in sps}
     worst_multi = min((eff[n] for n in sps if n > 1), default=None)
-    print(json.dumps({
+    record = {
         "metric": "sp_weak_scaling_efficiency",
         "value": worst_multi if worst_multi is not None else 1.0,
         "unit": "fraction (worst n>1; target >=0.85)",
@@ -108,7 +116,16 @@ def main() -> None:
         "msps_per_mesh": {str(n): round(v, 1) for n, v in msps.items()},
         "efficiency": {str(n): eff[n] for n in sps},
         "timing": {str(n): flags[n] for n in sps},
-    }))
+    }
+    if platform != "tpu":
+        record["note"] = ("harness validation only: CPU mesh devices share "
+                          "host cores, so this efficiency is NOT the TPU "
+                          "number")
+    line = json.dumps(record)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
