@@ -149,3 +149,43 @@ def test_chunks_per_step_geometry_matches(capture):
     two.spec = spec2
     b = two.demodulate(capture)
     np.testing.assert_allclose(b, a[:len(b)], rtol=1e-5, atol=1e-6)
+
+
+def test_kernel_variant_broadcast_rotation_bit_identical(capture):
+    """The (1, width) broadcast-multiply rotation must produce bit-identical
+    output to the full-size select rotation at every phase."""
+    import jax.numpy as jnp
+
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    for ph in range(4):
+        phase = jnp.asarray([ph], jnp.int32)
+        a, _, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True)
+        b, _, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            rot_impl="broadcast")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kernel_variant_poly6_atan_quality(capture):
+    """The 6-term atan ladder stays >=100 dB of the 10-term exact mode
+    (floor for swapping it into the bench path)."""
+    import jax.numpy as jnp
+
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    phase = jnp.asarray([0], jnp.int32)
+    a, _, _ = pallas_fm.demodulate_fused(
+        d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True)
+    b, _, _ = pallas_fm.demodulate_fused(
+        d16, phase, state, rh, w_hi, w_lo, v, SPEC, atan_mode="poly6",
+        interpret=True)
+    snr = _snr_db(np.asarray(a), np.asarray(b))
+    assert snr >= 100.0, f"poly6 vs exact: {snr:.1f} dB"

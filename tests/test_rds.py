@@ -313,3 +313,23 @@ def test_ct_through_stream_decoder():
     rx = R.RdsStreamDecoder()
     events = rx.feed_mpx(mpx)
     assert any(e == "CT: 2026-08-20 10:30 UTC+2:00" for e in events), events
+
+
+def test_ptyn_assembly():
+    """10A programme-type name over two segments, with the A/B toggle
+    restarting assembly."""
+    txt = R.RdsText()
+    g0 = R.sync_and_parse(np.concatenate(
+        [R.make_group_10a(0x1234, 0, "Foot")] * 4))[0]
+    g1 = R.sync_and_parse(np.concatenate(
+        [R.make_group_10a(0x1234, 1, "ball")] * 4))[0]
+    txt.update(g0)
+    assert txt.ptyn is None
+    events = txt.update(g1)
+    assert txt.ptyn == "Football"
+    assert "PTYN: 'Football'" in events
+    # flag flip clears the buffer: one segment alone no longer completes
+    gf = R.sync_and_parse(np.concatenate(
+        [R.make_group_10a(0x1234, 0, "News", flag=1)] * 4))[0]
+    txt.update(gf)
+    assert txt.ptyn == "Football"  # unchanged until the new name completes

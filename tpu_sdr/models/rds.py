@@ -494,6 +494,9 @@ class RdsText:
         self._af_partial: list[float] = []
         self.af: list[float] | None = None  # last completed AF list (MHz)
         self.ct: str | None = None   # last decoded clock-time string
+        self._ptyn = [None] * 8      # 10A programme-type-name assembly
+        self._ptyn_flag: int | None = None
+        self.ptyn: str | None = None
 
     @staticmethod
     def _chars(word: int) -> list[str]:
@@ -544,6 +547,21 @@ class RdsText:
                     events.append(f"RT: {rt!r}")
         elif gtype == 4 and not version_b:
             events.extend(self._decode_ct(b, c, d))
+        elif gtype == 10 and not version_b:
+            # 10A: 8-char programme-type name, 4 chars per group, segment
+            # in B bit 0, A/B toggle in B bit 4 clears on change
+            flag = (b >> 4) & 1
+            if self._ptyn_flag is not None and flag != self._ptyn_flag:
+                self._ptyn = [None] * 8
+            self._ptyn_flag = flag
+            seg = b & 0x1
+            self._ptyn[4 * seg: 4 * seg + 4] = (self._chars(c)
+                                                + self._chars(d))
+            if None not in self._ptyn:
+                ptyn = "".join(self._ptyn).rstrip()
+                if ptyn and ptyn != self.ptyn:
+                    self.ptyn = ptyn
+                    events.append(f"PTYN: {ptyn!r}")
         return events
 
     def _feed_af(self, code: int) -> list[str]:
@@ -675,4 +693,13 @@ def make_group_2a(pi: int, pty: int, segment: int, rt_quad: str,
         segment & 0xF)
     c = (ord(rt_quad[0]) << 8) | ord(rt_quad[1])
     d = (ord(rt_quad[2]) << 8) | ord(rt_quad[3])
+    return make_group((pi, b, c, d))
+
+
+def make_group_10a(pi: int, segment: int, ptyn_quad: str, pty: int = 0,
+                   flag: int = 0) -> np.ndarray:
+    """Encode one type-10A group carrying four PTYN characters."""
+    b = (10 << 12) | ((pty & 0x1F) << 5) | ((flag & 1) << 4) | (segment & 1)
+    c = (ord(ptyn_quad[0]) << 8) | ord(ptyn_quad[1])
+    d = (ord(ptyn_quad[2]) << 8) | ord(ptyn_quad[3])
     return make_group((pi, b, c, d))

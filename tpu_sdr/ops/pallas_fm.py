@@ -90,7 +90,17 @@ _ATAN_COEFFS = (
 )
 
 
-def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
+# 6-term equioscillating fit of atan(t)/t over t in [0, 1]: max error
+# 9.9e-6 rad (~107 dB vs exact — comfortably past the 80 dB kernel floor)
+# for 4 fewer VPU Horner steps than the f32-accurate 10-term ladder.
+_ATAN6_COEFFS = (
+    9.9999125472e-01, -3.3295015732e-01, 1.9558953030e-01, -1.2155903309e-01,
+    5.8200158710e-02, -1.3883453812e-02,
+)
+
+
+def _atan2_poly(y: jax.Array, x: jax.Array,
+                coeffs: tuple = _ATAN_COEFFS) -> jax.Array:
     """Full-quadrant atan2 from the reduced polynomial (f32-accurate)."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
@@ -98,8 +108,8 @@ def _atan2_poly(y: jax.Array, x: jax.Array) -> jax.Array:
     lo = jnp.minimum(ax, ay)
     t = lo / jnp.where(hi == 0, 1.0, hi)
     s = t * t
-    p = jnp.float32(_ATAN_COEFFS[-1])
-    for c in _ATAN_COEFFS[-2::-1]:
+    p = jnp.float32(coeffs[-1])
+    for c in coeffs[-2::-1]:
         p = p * s + jnp.float32(c)
     r = p * t
     r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
@@ -143,7 +153,7 @@ def unpack_state(s: jax.Array, rot_phase, resamp_state, spec: PallasWbfmSpec):
     )
 
 
-def _kernel(spec: PallasWbfmSpec, atan_mode: str,
+def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
             phase_ref, data_ref, w_hi_ref, w_lo_ref, state_in_ref,
             z_ref, state_out_ref, carry):
     """Grid (stations, chunks): chunks iterate innermost (sequentially on
@@ -170,12 +180,25 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str,
 
     # ---- fs/4 rotation: multiply sample k by j**(k+phase); width % 4 == 0
     # so the pattern depends only on the column ----
-    kmod = (jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
-            + phase_ref[b]) % 4
-    rre = jnp.where(kmod == 0, re,
-                    jnp.where(kmod == 1, -im, jnp.where(kmod == 2, -re, im)))
-    rim = jnp.where(kmod == 0, im,
-                    jnp.where(kmod == 1, re, jnp.where(kmod == 2, -im, -re)))
+    if rot_impl == "broadcast":
+        # Build the +-1/0 cos/sin rows once at (1, width) and rotate by
+        # broadcast multiply: the select work shrinks by the row count and
+        # the full-size ops become 4 mults + 2 adds.
+        kcol = (jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+                + phase_ref[b]) % 4
+        cosr = jnp.where(kcol == 0, 1.0, jnp.where(kcol == 2, -1.0, 0.0))
+        sinr = jnp.where(kcol == 1, 1.0, jnp.where(kcol == 3, -1.0, 0.0))
+        rre = re * cosr - im * sinr
+        rim = im * cosr + re * sinr
+    else:
+        kmod = (jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1)
+                + phase_ref[b]) % 4
+        rre = jnp.where(kmod == 0, re,
+                        jnp.where(kmod == 1, -im,
+                                  jnp.where(kmod == 2, -re, im)))
+        rim = jnp.where(kmod == 0, im,
+                        jnp.where(kmod == 1, re,
+                                  jnp.where(kmod == 2, -im, -re)))
 
     # ---- banded MXU FIR decimation (split bf16) ----
     # frame r covers x[r*width - (L-1) : r*width + 128*d + L - d - (L-1)]
@@ -222,6 +245,8 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str,
     c_im = y_im * b_re - y_re * b_im
     if atan_mode == "fast":
         ang = F.fast_atan2_f32(c_im, c_re)
+    elif atan_mode == "poly6":
+        ang = _atan2_poly(c_im, c_re, _ATAN6_COEFFS)
     else:
         ang = _atan2_poly(c_im, c_re)
     z_ref[:] = (ang * jnp.float32(1.0 / np.pi)).reshape(1, 1, rows, 128)
@@ -283,13 +308,13 @@ def _interpret_default() -> bool:
 
 
 def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
-                  interpret):
+                  interpret, rot_impl="select"):
     """The Pallas front-end: (stations, nchunks, rows, width) int16 ->
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
     stations, nchunks = data_i16.shape[0], data_i16.shape[1]
     return pl.pallas_call(
-        partial(_kernel, spec, atan_mode),
+        partial(_kernel, spec, atan_mode, rot_impl),
         grid=(stations, nchunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-station phases
@@ -317,12 +342,13 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
     )(phase, data_i16, w_hi, w_lo, states)
 
 
-@partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret"))
+@partial(jax.jit,
+         static_argnames=("spec", "atan_mode", "interpret", "rot_impl"))
 def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      state: jax.Array, resamp_hist: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                      spec: PallasWbfmSpec, atan_mode: str = "exact",
-                     interpret: bool = False):
+                     interpret: bool = False, rot_impl: str = "select"):
     """Fused kernel + XLA resampler over a whole block (one station).
 
     ``data_i16``: (nchunks, rows, width) int16 view of the u8 I/Q block
@@ -333,7 +359,7 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
     """
     z, new_states = _front_pallas(
         data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
-        interpret)
+        interpret, rot_impl)
     audio, rs = F.aligned_resample(
         z.reshape(-1), v, spec.up, spec.down,
         F.AlignedResampleState(resamp_hist))
