@@ -217,6 +217,34 @@ def bench_pallas_channelizer():
            "complex Msamples/s/chip")
 
 
+def bench_host_fed():
+    """Host-fed SYSTEM throughput (file -> native ring -> device_put ->
+    fused kernel -> on-device accumulator) and the transport ceiling the
+    same plumbing reaches without compute.  TPU only (the fused kernel)."""
+    import json as _json
+
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    from benchmarks.hostfed import measure_host_fed
+
+    r = measure_host_fed()
+    c = measure_host_fed(compute=False)
+    if r:
+        msps = r["block_bytes"] / 2 / r["spb"] / 1e6
+        line = {"metric": "host_fed_chain", "value": round(msps, 2),
+                "unit": "complex Msamples/s sustained",
+                "vs_baseline": round(msps / 500.0, 4), "timing": r["flag"],
+                "trials_msps": r["trials_msps"]}
+        if c:
+            line["h2d_ceiling_msps"] = round(
+                c["block_bytes"] / 2 / c["spb"] / 1e6, 1)
+            line["h2d_ceiling_trials_msps"] = c["trials_msps"]
+            line["pct_of_ceiling"] = round(100 * c["spb"] / r["spb"], 1)
+        print(_json.dumps(line), flush=True)
+
+
 if __name__ == "__main__":
     bench_single_chain()
     bench_batched()
@@ -224,3 +252,4 @@ if __name__ == "__main__":
     bench_pallas_fused()
     bench_pallas_channelizer()
     bench_ingest()
+    bench_host_fed()

@@ -69,3 +69,17 @@ def test_non_fd_source_routes_through_native_ring():
     got = [bytes(b) for b in feeder.blocks()]
     feeder.stop()
     assert got == [bytes([i]) * 256 for i in range(5)]
+
+
+def test_host_fed_harness_transport_path_cpu():
+    """The host-fed benchmark harness's plumbing (capture file -> feeder ->
+    zero-copy i16 view -> device_put -> windowed sync) runs end to end on
+    the CPU backend in transport-only mode; the kernel path is TPU-tier."""
+    from benchmarks.hostfed import measure_host_fed
+
+    r = measure_host_fed(n_short=2, n_long=4, trials=1, compute=False)
+    assert r is not None
+    assert r["spb"] > 0
+    assert r["block_bytes"] % 2 == 0
+    assert len(r["trials_msps"]) == 1
+    assert r["flag"] in ("differenced", "upper_bound")
