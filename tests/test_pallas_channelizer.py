@@ -57,6 +57,14 @@ def test_fused_channelizer_streaming_invariance(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_misaligned_window_height_rejected():
+    """taps_per_branch not a multiple of 8 makes the kernel's (C+H, K)
+    sublane roll misaligned — Mosaic's compiler crashes on it (measured
+    round 3), so the spec must reject it loudly up front."""
+    with pytest.raises(AssertionError, match="taps_per_branch"):
+        pc.default_spec(64, 4, 256)
+
+
 def test_tone_lands_in_expected_channel(setup):
     spec, _, K, T = setup
     # complex tone at channel 5's center: f = 5 * fs / K

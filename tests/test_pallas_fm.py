@@ -164,11 +164,52 @@ def test_kernel_variant_broadcast_rotation_bit_identical(capture):
     for ph in range(4):
         phase = jnp.asarray([ph], jnp.int32)
         a, _, _ = pallas_fm.demodulate_fused(
-            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True)
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            rot_impl="select")
         b, _, _ = pallas_fm.demodulate_fused(
             d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
             rot_impl="broadcast")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kernel_variant_dcfold_matches_scale(capture):
+    """The DC-fold unpack (raw-byte rotation + post-matmul correction)
+    must agree with the x255-scale unpack at every phase.  Not bit-exact
+    (the matmul accumulates different addends) but far above the 100 dB
+    bar."""
+    import jax.numpy as jnp
+
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    for ph in range(4):
+        phase = jnp.asarray([ph], jnp.int32)
+        a, sa, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            unpack_impl="scale")
+        b, sb, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            unpack_impl="dcfold")
+        snr = _snr_db(np.asarray(a), np.asarray(b))
+        assert snr >= 100.0, f"dcfold vs scale @ phase {ph}: {snr:.1f} dB"
+        # the carry stays in x255 space under both unpack impls
+        np.testing.assert_allclose(np.asarray(sb), np.asarray(sa),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_kernel_variant_dcfold_streaming_invariance(capture):
+    """The dcfold carry seam (x255 <-> raw conversion each chunk) must
+    keep the output invariant to block-boundary placement."""
+    one = pallas_fm.PallasWbfmStreamer(interpret=True)
+    one.unpack_impl = "dcfold"
+    full = one.demodulate(capture)
+    two = pallas_fm.PallasWbfmStreamer(interpret=True)
+    two.unpack_impl = "dcfold"
+    split = np.concatenate(
+        [two.demodulate(capture[:CHUNK]), two.demodulate(capture[CHUNK:])])
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)
 
 
 def test_kernel_variant_poly6_atan_quality(capture):
@@ -183,7 +224,8 @@ def test_kernel_variant_poly6_atan_quality(capture):
     rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
     phase = jnp.asarray([0], jnp.int32)
     a, _, _ = pallas_fm.demodulate_fused(
-        d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True)
+        d16, phase, state, rh, w_hi, w_lo, v, SPEC, atan_mode="exact",
+        interpret=True)
     b, _, _ = pallas_fm.demodulate_fused(
         d16, phase, state, rh, w_hi, w_lo, v, SPEC, atan_mode="poly6",
         interpret=True)

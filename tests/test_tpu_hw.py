@@ -240,6 +240,266 @@ def test_tpu_u8_bitcast_unpack_matches_numpy():
         rtol=0, atol=1e-6)
 
 
+def test_mosaic_rot_broadcast_matches_select(capture):
+    """The (1, width) broadcast-multiply rotation compiled by Mosaic must
+    be bit-identical to the full-size select rotation at every phase
+    (multiplies by exact +-1/0 and adds of exact zeros)."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.ops import pallas_fm
+
+    spec = pallas_fm.default_spec()
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, spec))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(spec.taps_per_phase - 1, jnp.float32)
+    for ph in range(4):
+        phase = jnp.asarray([ph], jnp.int32)
+        a, _, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, spec, rot_impl="select")
+        b, _, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, spec,
+            rot_impl="broadcast")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mosaic_atan_poly6_quality(capture):
+    """6-term atan ladder compiled on hardware: >=100 dB of the 10-term
+    exact mode (the floor for swapping it into the bench path)."""
+    from tpu_sdr.ops import pallas_fm
+
+    exact = pallas_fm.PallasWbfmStreamer(atan_mode="exact", interpret=False)
+    poly6 = pallas_fm.PallasWbfmStreamer(atan_mode="poly6", interpret=False)
+    a = exact.demodulate(capture)
+    b = poly6.demodulate(capture)
+    snr = _snr_db(a, b)
+    assert snr >= 100.0, f"poly6 vs exact on hardware: {snr:.1f} dB"
+
+
+def test_mosaic_atan_fast_close_to_exact(capture):
+    """The reference-style fast_atan2 mode compiled on hardware stays
+    within its documented ~30 dB envelope of the exact mode."""
+    from tpu_sdr.ops import pallas_fm
+
+    exact = pallas_fm.PallasWbfmStreamer(atan_mode="exact", interpret=False)
+    fast = pallas_fm.PallasWbfmStreamer(atan_mode="fast", interpret=False)
+    assert _snr_db(exact.demodulate(capture), fast.demodulate(capture)) >= 30.0
+
+
+@pytest.mark.parametrize("g", [4, 8])
+def test_mosaic_chunks_per_step_geometry(g):
+    """Edge grid geometries (chunks folded per step) compiled by Mosaic
+    must agree with the default 1-chunk grid."""
+    from tpu_sdr.ops import pallas_fm
+    from tpu_sdr.utils import synth
+
+    chunk = pallas_fm.default_spec().chunk_bytes
+    u8, _ = synth.synth_wbfm_u8(g * chunk // 2, capture_rate=1_020_000)
+    buf = np.asarray(u8, dtype=np.uint8)[: g * chunk]
+
+    one = pallas_fm.PallasWbfmStreamer(interpret=False)
+    a = one.demodulate(buf)
+    multi = pallas_fm.PallasWbfmStreamer(interpret=False)
+    multi.spec = pallas_fm.default_spec(chunks_per_step=g)
+    b = multi.demodulate(buf)
+    assert len(b) == len(a)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_mosaic_dcfold_matches_scale(capture):
+    """DC-fold unpack compiled by Mosaic: agrees with the x255-scale
+    unpack (>=100 dB) and holds streaming invariance across the carry
+    seam on hardware."""
+    from tpu_sdr.ops import pallas_fm
+
+    chunk = pallas_fm.default_spec().chunk_bytes
+    base = pallas_fm.PallasWbfmStreamer(interpret=False)
+    ref = base.demodulate(capture)
+    one = pallas_fm.PallasWbfmStreamer(interpret=False,
+                                       unpack_impl="dcfold")
+    full = one.demodulate(capture)
+    snr = _snr_db(ref, full)
+    assert snr >= 100.0, f"dcfold vs scale on hardware: {snr:.1f} dB"
+
+    two = pallas_fm.PallasWbfmStreamer(interpret=False,
+                                       unpack_impl="dcfold")
+    split = np.concatenate(
+        [two.demodulate(capture[:chunk]), two.demodulate(capture[chunk:])])
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)
+
+
+def test_mosaic_xla_split_bf16_matches_f32(capture):
+    """The split-bf16 banded decimator lowered by XLA-TPU (not Pallas):
+    split-precision reconstruction must hold on the real MXU, where bf16
+    rounding is hardware behavior rather than emulation."""
+    from tpu_sdr.models import wbfm
+
+    f32 = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir",
+                                            mxu_precision="f32"))
+    bf16 = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir",
+                                             mxu_precision="split_bf16"))
+    snr = _snr_db(f32.demodulate(capture), bf16.demodulate(capture))
+    assert snr >= 80.0, f"split-bf16 vs f32 XLA chain on MXU: {snr:.1f} dB"
+
+
+def test_mosaic_state_handoff_xla_to_pallas(capture):
+    """Mid-stream carry handoff from the XLA chain into the compiled fused
+    kernel: no glitch at the seam (pack_state semantics on hardware)."""
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.ops import pallas_fm
+
+    chunk = pallas_fm.default_spec().chunk_bytes
+    config = wbfm.WbfmConfig(filter_mode="fir", mxu_precision="f32")
+    xla = wbfm.WbfmStreamer(config)
+    first = xla.demodulate(capture[:chunk])
+
+    ps = pallas_fm.PallasWbfmStreamer(interpret=False)
+    ps.state = pallas_fm.pack_state(xla.state, ps.spec)
+    ps.resamp_hist = xla.state.resamp.hist
+    ps.phase = int(xla.state.rot.phase)
+    second = ps.demodulate(capture[chunk:])
+
+    ref = wbfm.WbfmStreamer(config)
+    expected = np.concatenate(
+        [ref.demodulate(capture[:chunk]), ref.demodulate(capture[chunk:])])
+    got = np.concatenate([first, second])
+    snr = _snr_db(expected, got)
+    assert snr >= 80.0, f"handoff continuity on hardware: {snr:.1f} dB"
+
+
+def test_mosaic_batch_streaming_state(capture):
+    """Compiled batch grid: per-station VMEM carries must evolve
+    independently across a block split."""
+    from tpu_sdr.ops import pallas_fm
+
+    chunk = pallas_fm.default_spec().chunk_bytes
+    bufs = np.stack([capture, capture[::-1].copy()])
+    one = pallas_fm.PallasWbfmBatchStreamer(2, interpret=False)
+    full = one.demodulate(bufs)
+    two = pallas_fm.PallasWbfmBatchStreamer(2, interpret=False)
+    split = np.concatenate(
+        [two.demodulate(bufs[:, :chunk]), two.demodulate(bufs[:, chunk:])],
+        axis=1)
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-6)
+
+
+def test_mosaic_unaligned_split_pending_buffer(capture):
+    """Splits that do NOT land on chunk boundaries exercise the host
+    pending-buffer + rotator-phase bookkeeping around the compiled kernel."""
+    from tpu_sdr.ops import pallas_fm
+
+    one = pallas_fm.PallasWbfmStreamer(interpret=False)
+    full = one.demodulate(capture)
+    two = pallas_fm.PallasWbfmStreamer(interpret=False)
+    cuts = [30_000, len(capture) - 50_000]
+    parts = [two.demodulate(capture[:cuts[0]]),
+             two.demodulate(capture[cuts[0]:cuts[1]]),
+             two.demodulate(capture[cuts[1]:])]
+    split = np.concatenate(parts)
+    np.testing.assert_allclose(split, full[: len(split)], rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_mosaic_fused_tone_snr(capture):
+    """End-to-end receive quality on hardware: the 1 kHz tone in the
+    synthesized WBFM capture survives the compiled chain at the same
+    >=45 dB bar the CPU tier holds the float chain to."""
+    from tpu_sdr.ops import pallas_fm
+    from tpu_sdr.utils import synth
+
+    ps = pallas_fm.PallasWbfmStreamer(interpret=False)
+    audio = ps.demodulate(capture)
+    snr = synth.tone_snr(np.asarray(audio, np.float64), 1000.0, 32_000,
+                         skip=1500)
+    assert snr >= 45.0, f"hardware chain tone SNR: {snr:.1f} dB"
+
+
+def test_mosaic_channelizer_streaming_invariance():
+    """Compiled PFB kernel: the VMEM frame-history carry must make the
+    output invariant to chunk-boundary placement."""
+    from tpu_sdr.ops import pallas_channelizer as pc
+
+    K, T = 64, 8
+    spec = pc.default_spec(K, T)
+    rng = np.random.default_rng(9)
+    buf = rng.integers(0, 256, size=2 * spec.chunk_bytes, dtype=np.uint8)
+
+    one = pc.PallasPfbStreamer(K, T, spec.frames_per_chunk, interpret=False)
+    full = np.stack(one.channelize(buf))
+    two = pc.PallasPfbStreamer(K, T, spec.frames_per_chunk, interpret=False)
+    a = np.stack(two.channelize(buf[: spec.chunk_bytes]))
+    b = np.stack(two.channelize(buf[spec.chunk_bytes:]))
+    np.testing.assert_allclose(np.concatenate([a, b], axis=1), full,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mosaic_channelizer_tone_lands_in_channel():
+    """Station recovery through the compiled PFB: a complex tone at
+    channel 5's center concentrates there."""
+    from tpu_sdr.ops import pallas_channelizer as pc
+
+    K, T = 64, 8
+    spec = pc.default_spec(K, T)
+    n = 2 * spec.chunk_bytes // 2
+    t = np.arange(n)
+    ph = 2 * np.pi * 5 / K * t
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(127.5 + 120 * np.cos(ph)), 0, 255)
+    u8[1::2] = np.clip(np.round(127.5 + 120 * np.sin(ph)), 0, 255)
+
+    s = pc.PallasPfbStreamer(K, T, spec.frames_per_chunk, interpret=False)
+    y_re, y_im = s.channelize(u8)
+    power = np.mean(y_re**2 + y_im**2, axis=0)
+    assert int(np.argmax(power)) == 5
+    assert power[5] > 20 * np.partition(power, -2)[-2]
+
+
+@pytest.mark.parametrize("K,T,C", [(16, 8, 64), (128, 8, 64), (64, 16, 256)])
+def test_mosaic_channelizer_edge_geometries(K, T, C):
+    """Edge channel counts / tap depths / chunk heights compiled by Mosaic
+    vs the interpreter — layout bugs are geometry-dependent."""
+    from tpu_sdr.ops import pallas_channelizer as pc
+
+    spec = pc.default_spec(K, T, C)
+    rng = np.random.default_rng(K + T)
+    buf = rng.integers(0, 256, size=2 * spec.chunk_bytes, dtype=np.uint8)
+    compiled = pc.PallasPfbStreamer(K, T, C, interpret=False)
+    interp = pc.PallasPfbStreamer(K, T, C, interpret=True)
+    got = compiled.channelize(buf)
+    exp = interp.channelize(buf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mosaic_sharded_channelizer_single_chip():
+    """The channel-parallel fused channelizer (shard_map around the Mosaic
+    kernel) compiled on a 1-device mesh must reproduce the full bank."""
+    import jax
+
+    from tpu_sdr.ops import pallas_channelizer as pc
+    from tpu_sdr.parallel import mesh as mesh_mod
+    from tpu_sdr.parallel.channelizer_sharded_pallas import (
+        make_sharded_pfb_pallas, sharded_pfb_pallas_apply)
+
+    K, T = 64, 8
+    spec = pc.default_spec(K, T)
+    rng = np.random.default_rng(13)
+    buf = rng.integers(0, 256, size=2 * spec.chunk_bytes, dtype=np.uint8)
+
+    mesh = mesh_mod.make_mesh(dp=1, sp=1, devices=jax.devices()[:1])
+    bank = make_sharded_pfb_pallas(mesh, K, T, spec.frames_per_chunk,
+                                   interpret=False)
+    got_re, got_im, _ = sharded_pfb_pallas_apply(bank, buf)
+
+    full = pc.PallasPfbStreamer(K, T, spec.frames_per_chunk, interpret=False)
+    exp_re, exp_im = full.channelize(buf)
+    np.testing.assert_allclose(np.asarray(got_re), exp_re, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_im), exp_im, rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_tpu_wideband_pallas_front_decodes_station():
     """Fused Pallas channelizer front (Mosaic) through the wideband
     multi-station receiver on hardware: the station tone survives."""

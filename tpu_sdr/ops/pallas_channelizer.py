@@ -65,6 +65,12 @@ class PallasPfbSpec(NamedTuple):
         assert 2 * self.out_channels <= 512, "packed lanes beyond one matmul"
         assert self.frames_per_chunk % 8 == 0, "sublane alignment"
         assert self.branch_rows - 1 <= self.frames_per_chunk
+        # The kernel's window construction sublane-rolls the (C+H, K)
+        # extended block; Mosaic's compiler crashes (remote_compile 500,
+        # measured round 3 on v5e at C+H=260) when that height is not a
+        # multiple of the 8-row sublane tile.  H = taps_per_branch.
+        assert (self.frames_per_chunk + self.branch_rows - 1) % 8 == 0, (
+            "taps_per_branch must be a multiple of 8 (Mosaic sublane roll)")
 
 
 def make_packed_matrices(h_poly: np.ndarray, scale: float = 255.0,

@@ -93,6 +93,10 @@ _ATAN_COEFFS = (
 # 6-term equioscillating fit of atan(t)/t over t in [0, 1]: max error
 # 9.9e-6 rad (~107 dB vs exact — comfortably past the 80 dB kernel floor)
 # for 4 fewer VPU Horner steps than the f32-accurate 10-term ladder.
+# Default since round 3: an interleaved on-chip A/B (benchmarks/ab_kernel,
+# 6 reps, spread <1%) measured poly6 3.2% faster than the 10-term ladder
+# and, combined with the broadcast rotation, 6.5% overall
+# (0.248 -> 0.232 ms/block).
 _ATAN6_COEFFS = (
     9.9999125472e-01, -3.3295015732e-01, 1.9558953030e-01, -1.2155903309e-01,
     5.8200158710e-02, -1.3883453812e-02,
@@ -154,8 +158,8 @@ def unpack_state(s: jax.Array, rot_phase, resamp_state, spec: PallasWbfmSpec):
 
 
 def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
-            phase_ref, data_ref, w_hi_ref, w_lo_ref, state_in_ref,
-            z_ref, state_out_ref, carry):
+            unpack_impl: str, phase_ref, data_ref, w_hi_ref, w_lo_ref,
+            corr_ref, state_in_ref, z_ref, state_out_ref, carry):
     """Grid (stations, chunks): chunks iterate innermost (sequentially on
     TPU), so the VMEM carry streams within a station and re-seeds from
     ``state_in`` when a new station's chunk 0 arrives."""
@@ -173,10 +177,21 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         carry[:] = state_in_ref[0]
 
     # ---- u8 unpack: one int16 = one complex sample (I low byte, Q high
-    # byte, little-endian), so no lane interleaving is needed; x255 scale ----
+    # byte, little-endian), so no lane interleaving is needed ----
     v = data_ref[0, 0].astype(jnp.int32)  # (rows, width)
-    re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
-    im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+    if unpack_impl == "dcfold":
+        # DC-fold: rotate the RAW byte values (0..255) and fold the
+        # x2-255 normalization through the linear FIR — the matmul output
+        # is corrected as y = 2*y_raw - corr[phase], where corr is the
+        # (tiny, precomputed) response of the decimator to the rotated
+        # -255 DC pattern.  Saves 4 full-width VPU ops per chunk.
+        assert rot_impl == "broadcast", "dcfold requires broadcast rotation"
+        re = (v & 0xFF).astype(jnp.float32)
+        im = ((v >> 8) & 0xFF).astype(jnp.float32)
+    else:
+        # x255 scale (2u - 255: exact 9-bit integers)
+        re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+        im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
 
     # ---- fs/4 rotation: multiply sample k by j**(k+phase); width % 4 == 0
     # so the pattern depends only on the column ----
@@ -202,9 +217,28 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
 
     # ---- banded MXU FIR decimation (split bf16) ----
     # frame r covers x[r*width - (L-1) : r*width + 128*d + L - d - (L-1)]
-    # = [last L-1 of row r-1 | row r[: 128*d - d + ... ]]; samples x255 are
-    # exact 9-bit integers, so the bf16 cast of the data is lossless.
+    # = [last L-1 of row r-1 | row r[: 128*d - d + ... ]]; samples (x255
+    # scale or raw rotated bytes) are exact <=9-bit integers, so the bf16
+    # cast of the data is lossless.
     row_len = 128 * d + L - d  # 834
+
+    if unpack_impl == "dcfold":
+        # The carry keeps FIR history in the x255 scale (external
+        # semantics unchanged); convert to/from the raw rotated space at
+        # the seam.  History lane k sits at frame column k, i.e. sample
+        # index k - (L-1): the same +-1 DC pattern serves the inbound
+        # conversion and the outbound tail store.
+        kt = (jax.lax.broadcasted_iota(jnp.int32, (1, Lm1), 1)
+              + (4 - Lm1 % 4) + phase_ref[b]) % 4
+        cos_t = jnp.where(kt == 0, 1.0, jnp.where(kt == 2, -1.0, 0.0))
+        sin_t = jnp.where(kt == 1, 1.0, jnp.where(kt == 3, -1.0, 0.0))
+        p_re = (cos_t - sin_t) * 255.0
+        p_im = (cos_t + sin_t) * 255.0
+        hist_re = (carry[0:1, :Lm1] + p_re) * 0.5
+        hist_im = (carry[1:2, :Lm1] + p_im) * 0.5
+    else:
+        hist_re = carry[0:1, :Lm1]
+        hist_im = carry[1:2, :Lm1]
 
     def frames_for(x, hist_row):
         # tail[r] = x[r, width-(L-1):]; the circular lane roll re-aligns the
@@ -215,8 +249,8 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         frames = jnp.concatenate([left, x[:, : row_len - Lm1]], axis=1)
         return frames, tail[rows - 1:rows]
 
-    fr, new_fir_re = frames_for(rre, carry[0:1, :Lm1])
-    fi, new_fir_im = frames_for(rim, carry[1:2, :Lm1])
+    fr, new_fir_re = frames_for(rre, hist_re)
+    fi, new_fir_im = frames_for(rim, hist_im)
     frames = jnp.concatenate([fr, fi], axis=0).astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
     y = (
@@ -227,6 +261,19 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
     )  # (2*rows, 128); y[r*128+c] is decimated sample m = r*128+c
     y_re = y[:rows]
     y_im = y[rows:]
+    if unpack_impl == "dcfold":
+        # y_true = 2*y_raw - corr[phase]; corr rows 0-3 are the re
+        # correction per phase, 4-7 the im correction.
+        p = phase_ref[b]
+        corr_re = corr_ref[0:1]
+        corr_im = corr_ref[4:5]
+        for k in range(1, 4):
+            corr_re = jnp.where(p == k, corr_ref[k:k + 1], corr_re)
+            corr_im = jnp.where(p == k, corr_ref[4 + k:5 + k], corr_im)
+        y_re = 2.0 * y_re - corr_re
+        y_im = 2.0 * y_im - corr_im
+        new_fir_re = 2.0 * new_fir_re - p_re
+        new_fir_im = 2.0 * new_fir_im - p_im
 
     # ---- quadrature discriminator: angle(x[k] * conj(x[k-1])) / pi ----
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
@@ -307,14 +354,42 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
+             spec: PallasWbfmSpec) -> jax.Array:
+    """(8, 128) decimator response to the rotated -255 DC pattern, per
+    fs/4 phase (rows 0-3: re frames, 4-7: im frames) — the correction the
+    ``dcfold`` unpack subtracts after the matmul.  Computed in-graph from
+    the traced split weights (one tiny constant matmul, fused by XLA)."""
+    Lm1 = spec.num_taps - 1
+    row_len = 128 * spec.decim + spec.num_taps - spec.decim
+    j = np.arange(row_len)
+    rows_re, rows_im = [], []
+    for phase in range(4):
+        kmod = (j - Lm1 + phase) % 4  # frame col j holds sample j - (L-1)
+        cos = np.where(kmod == 0, 1.0, np.where(kmod == 2, -1.0, 0.0))
+        sin = np.where(kmod == 1, 1.0, np.where(kmod == 3, -1.0, 0.0))
+        rows_re.append(cos - sin)
+        rows_im.append(cos + sin)
+    P = jnp.asarray(np.stack(rows_re + rows_im) * 255.0, jnp.float32)
+    W = w_hi.astype(jnp.float32) + w_lo.astype(jnp.float32)
+    # HIGHEST: on TPU a default-precision f32 matmul runs as bf16 MXU
+    # passes; the quantized correction then poisons the 2*y_raw - corr
+    # cancellation (measured 41 dB vs >=100 dB, round 3 hardware tier).
+    return jnp.matmul(P, W, precision=jax.lax.Precision.HIGHEST)
+
+
 def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
-                  interpret, rot_impl="select"):
+                  interpret, rot_impl="broadcast", unpack_impl="scale"):
     """The Pallas front-end: (stations, nchunks, rows, width) int16 ->
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
     stations, nchunks = data_i16.shape[0], data_i16.shape[1]
+    if unpack_impl == "dcfold":
+        corr = _dc_corr(w_hi, w_lo, spec)
+    else:
+        corr = jnp.zeros((8, 128), jnp.float32)
     return pl.pallas_call(
-        partial(_kernel, spec, atan_mode, rot_impl),
+        partial(_kernel, spec, atan_mode, rot_impl, unpack_impl),
         grid=(stations, nchunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-station phases
@@ -323,6 +398,8 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
             pl.BlockSpec((w_hi.shape[0], 128), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w_lo.shape[0], 128), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, STATE_ROWS, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -339,17 +416,23 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
         ],
         scratch_shapes=[pltpu.VMEM((STATE_ROWS, 128), jnp.float32)],
         interpret=interpret,
-    )(phase, data_i16, w_hi, w_lo, states)
+    )(phase, data_i16, w_hi, w_lo, corr, states)
 
 
 @partial(jax.jit,
-         static_argnames=("spec", "atan_mode", "interpret", "rot_impl"))
+         static_argnames=("spec", "atan_mode", "interpret", "rot_impl",
+                          "unpack_impl"))
 def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      state: jax.Array, resamp_hist: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
-                     spec: PallasWbfmSpec, atan_mode: str = "exact",
-                     interpret: bool = False, rot_impl: str = "select"):
+                     spec: PallasWbfmSpec, atan_mode: str = "poly6",
+                     interpret: bool = False, rot_impl: str = "broadcast",
+                     unpack_impl: str = "scale"):
     """Fused kernel + XLA resampler over a whole block (one station).
+
+    Defaults (round-3 on-chip A/B, benchmarks/ab_kernel): ``poly6`` atan
+    (~107 dB of the 10-term ladder, 3.2% faster) + ``broadcast`` rotation
+    (bit-identical to ``select``, 4.0% faster).
 
     ``data_i16``: (nchunks, rows, width) int16 view of the u8 I/Q block
     (see :func:`view_u8_as_i16`).  ``phase``: (1,) int32 fs/4 rotator phase
@@ -359,19 +442,21 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
     """
     z, new_states = _front_pallas(
         data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
-        interpret, rot_impl)
+        interpret, rot_impl, unpack_impl)
     audio, rs = F.aligned_resample(
         z.reshape(-1), v, spec.up, spec.down,
         F.AlignedResampleState(resamp_hist))
     return audio, new_states[0], rs.hist
 
 
-@partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret"))
+@partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret",
+                                   "unpack_impl"))
 def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
                            states: jax.Array, resamp_hists: jax.Array,
                            w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
-                           spec: PallasWbfmSpec, atan_mode: str = "exact",
-                           interpret: bool = False):
+                           spec: PallasWbfmSpec, atan_mode: str = "poly6",
+                           interpret: bool = False,
+                           unpack_impl: str = "scale"):
     """Multi-station fused chain: one kernel launch demodulates every
     station (grid = stations x chunks — the in-chip DP axis of
     wbfm_batched, BASELINE.json config #2).
@@ -382,7 +467,8 @@ def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
     new_resamp_hists).
     """
     z, new_states = _front_pallas(
-        data_i16, phases, states, w_hi, w_lo, spec, atan_mode, interpret)
+        data_i16, phases, states, w_hi, w_lo, spec, atan_mode, interpret,
+        unpack_impl=unpack_impl)
     stations = data_i16.shape[0]
 
     def resample_one(zb, hist):
@@ -420,14 +506,16 @@ class PallasWbfmStreamer:
     """Streaming host wrapper around the fused kernel (chunk-aligned
     residual carry, like ``wbfm.WbfmStreamer``)."""
 
-    def __init__(self, config=None, atan_mode: str = "exact",
-                 interpret: bool | None = None):
+    def __init__(self, config=None, atan_mode: str = "poly6",
+                 interpret: bool | None = None,
+                 unpack_impl: str = "scale"):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")
         self.spec = default_spec(self.config)
         self.w_hi, self.w_lo, self.v = make_kernel_params(self.config)
         self.atan_mode = atan_mode
+        self.unpack_impl = unpack_impl
         self.interpret = _interpret_default() if interpret is None else interpret
         self.state = jnp.zeros((STATE_ROWS, 128), jnp.float32)
         self.state = self.state.at[2, 127].set(1.0)  # quad prev = 1+0j
@@ -445,7 +533,8 @@ class PallasWbfmStreamer:
         audio, self.state, self.resamp_hist = demodulate_fused(
             jnp.asarray(d16), jnp.asarray([self.phase], jnp.int32), self.state,
             self.resamp_hist, self.w_hi, self.w_lo, self.v, self.spec,
-            atan_mode=self.atan_mode, interpret=self.interpret)
+            atan_mode=self.atan_mode, interpret=self.interpret,
+            unpack_impl=self.unpack_impl)
         self.phase = (self.phase + usable // 2) % 4
         return np.asarray(audio)
 
@@ -454,7 +543,7 @@ class PallasWbfmBatchStreamer:
     """Host wrapper mirroring ``wbfm_batched.WbfmBatchStreamer`` over the
     fused kernel: one launch demodulates the whole station batch."""
 
-    def __init__(self, stations: int, config=None, atan_mode: str = "exact",
+    def __init__(self, stations: int, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None):
         from tpu_sdr.models import wbfm as M
 
