@@ -165,10 +165,10 @@ def test_kernel_variant_broadcast_rotation_bit_identical(capture):
         phase = jnp.asarray([ph], jnp.int32)
         a, _, _ = pallas_fm.demodulate_fused(
             d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
-            rot_impl="select")
+            rot_impl="select", unpack_impl="scale")
         b, _, _ = pallas_fm.demodulate_fused(
             d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
-            rot_impl="broadcast")
+            rot_impl="broadcast", unpack_impl="scale")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

@@ -257,10 +257,11 @@ def test_mosaic_rot_broadcast_matches_select(capture):
     for ph in range(4):
         phase = jnp.asarray([ph], jnp.int32)
         a, _, _ = pallas_fm.demodulate_fused(
-            d16, phase, state, rh, w_hi, w_lo, v, spec, rot_impl="select")
+            d16, phase, state, rh, w_hi, w_lo, v, spec, rot_impl="select",
+            unpack_impl="scale")
         b, _, _ = pallas_fm.demodulate_fused(
             d16, phase, state, rh, w_hi, w_lo, v, spec,
-            rot_impl="broadcast")
+            rot_impl="broadcast", unpack_impl="scale")
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
@@ -314,7 +315,8 @@ def test_mosaic_dcfold_matches_scale(capture):
     from tpu_sdr.ops import pallas_fm
 
     chunk = pallas_fm.default_spec().chunk_bytes
-    base = pallas_fm.PallasWbfmStreamer(interpret=False)
+    base = pallas_fm.PallasWbfmStreamer(interpret=False,
+                                        unpack_impl="scale")
     ref = base.demodulate(capture)
     one = pallas_fm.PallasWbfmStreamer(interpret=False,
                                        unpack_impl="dcfold")

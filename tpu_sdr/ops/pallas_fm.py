@@ -379,7 +379,7 @@ def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
 
 
 def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
-                  interpret, rot_impl="broadcast", unpack_impl="scale"):
+                  interpret, rot_impl="broadcast", unpack_impl="dcfold"):
     """The Pallas front-end: (stations, nchunks, rows, width) int16 ->
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
@@ -427,7 +427,7 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                      spec: PallasWbfmSpec, atan_mode: str = "poly6",
                      interpret: bool = False, rot_impl: str = "broadcast",
-                     unpack_impl: str = "scale"):
+                     unpack_impl: str = "dcfold"):
     """Fused kernel + XLA resampler over a whole block (one station).
 
     Defaults (round-3 on-chip A/B, benchmarks/ab_kernel): ``poly6`` atan
@@ -456,7 +456,7 @@ def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
                            w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                            spec: PallasWbfmSpec, atan_mode: str = "poly6",
                            interpret: bool = False,
-                           unpack_impl: str = "scale"):
+                           unpack_impl: str = "dcfold"):
     """Multi-station fused chain: one kernel launch demodulates every
     station (grid = stations x chunks — the in-chip DP axis of
     wbfm_batched, BASELINE.json config #2).
@@ -508,7 +508,7 @@ class PallasWbfmStreamer:
 
     def __init__(self, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None,
-                 unpack_impl: str = "scale"):
+                 unpack_impl: str = "dcfold"):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")

@@ -130,7 +130,7 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
                                spec.row_width)
         phases = jnp.zeros(st, jnp.int32)  # shard lengths are 0 mod 4
         z, _ = pallas_fm._front_pallas(
-            data, phases, states, w_hi, w_lo, spec, "exact", interpret)
+            data, phases, states, w_hi, w_lo, spec, "poly6", interpret)
         demod = z.reshape(st, n_loc // spec.decim)
 
         return resample_shard(demod, config, params, "sp")
