@@ -91,12 +91,14 @@ def main() -> None:
     mode = sys.argv[3] if len(sys.argv) > 3 else "rot_atan"
     variants = []
     if mode == "dcfold":
-        # defaults (poly6+broadcast) with scale vs dcfold unpack
+        # defaults (poly6+broadcast) across the unpack impls
         for g in gs:
             variants.append((f"g{g}_scale", g, "poly6", "broadcast",
                              "scale"))
             variants.append((f"g{g}_dcfold", g, "poly6", "broadcast",
                              "dcfold"))
+            variants.append((f"g{g}_dcfold_bf16", g, "poly6", "broadcast",
+                             "dcfold_bf16"))
     else:
         for g in gs:
             for atan in ("exact", "poly6"):

@@ -199,6 +199,30 @@ def test_kernel_variant_dcfold_matches_scale(capture):
                                    rtol=1e-4, atol=1e-3)
 
 
+def test_kernel_variant_dcfold_bf16_bit_identical(capture):
+    """dcfold_bf16 (pre-matmul pipeline in packed bf16) must be
+    BIT-identical to dcfold: the +-1/0 rotation only selects/negates, so
+    every pre-matmul intermediate is an exact <=8-bit integer in bf16 and
+    the matmul receives identical frames."""
+    import jax.numpy as jnp
+
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    for ph in range(4):
+        phase = jnp.asarray([ph], jnp.int32)
+        a, sa, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            unpack_impl="dcfold")
+        b, sb, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            unpack_impl="dcfold_bf16")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+
 def test_kernel_variant_dcfold_streaming_invariance(capture):
     """The dcfold carry seam (x255 <-> raw conversion each chunk) must
     keep the output invariant to block-boundary placement."""

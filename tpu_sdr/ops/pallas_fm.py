@@ -178,16 +178,24 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
 
     # ---- u8 unpack: one int16 = one complex sample (I low byte, Q high
     # byte, little-endian), so no lane interleaving is needed ----
+    dc = unpack_impl in ("dcfold", "dcfold_bf16")
+    # dcfold_bf16 runs the whole pre-matmul pipeline in bf16: raw bytes
+    # (0..255) are exact, and the +-1/0 rotation only selects/negates —
+    # it never ADDS two nonzero terms — so every intermediate stays an
+    # exact <=8-bit integer.  Packed bf16 doubles VPU elementwise
+    # throughput and the frames need no final cast.
+    cdtype = jnp.bfloat16 if unpack_impl == "dcfold_bf16" else jnp.float32
+
     v = data_ref[0, 0].astype(jnp.int32)  # (rows, width)
-    if unpack_impl == "dcfold":
+    if dc:
         # DC-fold: rotate the RAW byte values (0..255) and fold the
         # x2-255 normalization through the linear FIR — the matmul output
         # is corrected as y = 2*y_raw - corr[phase], where corr is the
         # (tiny, precomputed) response of the decimator to the rotated
         # -255 DC pattern.  Saves 4 full-width VPU ops per chunk.
         assert rot_impl == "broadcast", "dcfold requires broadcast rotation"
-        re = (v & 0xFF).astype(jnp.float32)
-        im = ((v >> 8) & 0xFF).astype(jnp.float32)
+        re = (v & 0xFF).astype(cdtype)
+        im = ((v >> 8) & 0xFF).astype(cdtype)
     else:
         # x255 scale (2u - 255: exact 9-bit integers)
         re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
@@ -201,8 +209,10 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         # the full-size ops become 4 mults + 2 adds.
         kcol = (jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
                 + phase_ref[b]) % 4
-        cosr = jnp.where(kcol == 0, 1.0, jnp.where(kcol == 2, -1.0, 0.0))
-        sinr = jnp.where(kcol == 1, 1.0, jnp.where(kcol == 3, -1.0, 0.0))
+        cosr = jnp.where(kcol == 0, 1.0,
+                         jnp.where(kcol == 2, -1.0, 0.0)).astype(re.dtype)
+        sinr = jnp.where(kcol == 1, 1.0,
+                         jnp.where(kcol == 3, -1.0, 0.0)).astype(re.dtype)
         rre = re * cosr - im * sinr
         rim = im * cosr + re * sinr
     else:
@@ -222,36 +232,53 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
     # cast of the data is lossless.
     row_len = 128 * d + L - d  # 834
 
-    if unpack_impl == "dcfold":
+    def frames_of(x, hist_row, tail):
+        # left column block = [history | tails of rows 0..r-2], all at lane
+        # offset 0 — Mosaic cannot concatenate operands whose lane offsets
+        # differ, so tails are pre-rolled to offset 0 by the caller.
+        left = jnp.concatenate([hist_row, tail[:-1]], axis=0)
+        return jnp.concatenate([left, x[:, : row_len - Lm1]], axis=1)
+
+    if dc:
         # The carry keeps FIR history in the x255 scale (external
         # semantics unchanged); convert to/from the raw rotated space at
-        # the seam.  History lane k sits at frame column k, i.e. sample
-        # index k - (L-1): the same +-1 DC pattern serves the inbound
-        # conversion and the outbound tail store.
+        # the seam.  History/tail lane k sits at frame column k, i.e.
+        # sample index k - (L-1): one +-1 DC pattern serves the inbound
+        # conversion, the outbound tail store, and the tail rotation.
+        # Raw-space values are exact <=8-bit integers, so every cdtype
+        # cast is lossless.
         kt = (jax.lax.broadcasted_iota(jnp.int32, (1, Lm1), 1)
               + (4 - Lm1 % 4) + phase_ref[b]) % 4
         cos_t = jnp.where(kt == 0, 1.0, jnp.where(kt == 2, -1.0, 0.0))
         sin_t = jnp.where(kt == 1, 1.0, jnp.where(kt == 3, -1.0, 0.0))
         p_re = (cos_t - sin_t) * 255.0
         p_im = (cos_t + sin_t) * 255.0
-        hist_re = (carry[0:1, :Lm1] + p_re) * 0.5
-        hist_im = (carry[1:2, :Lm1] + p_im) * 0.5
+        hist_re = ((carry[0:1, :Lm1] + p_re) * 0.5).astype(cdtype)
+        hist_im = ((carry[1:2, :Lm1] + p_im) * 0.5).astype(cdtype)
+        # Tails from ONE 32-bit roll of the packed source (Mosaic has no
+        # 16-bit roll, and this replaces the two full-width f32 rolls):
+        # unpack + rotate only the (rows, L-1) tail slice.
+        tail_v = pltpu.roll(v, Lm1, 1)[:, :Lm1]
+        t_re = (tail_v & 0xFF).astype(cdtype)
+        t_im = ((tail_v >> 8) & 0xFF).astype(cdtype)
+        cos_tc = cos_t.astype(cdtype)
+        sin_tc = sin_t.astype(cdtype)
+        tail_re = t_re * cos_tc - t_im * sin_tc
+        tail_im = t_im * cos_tc + t_re * sin_tc
     else:
         hist_re = carry[0:1, :Lm1]
         hist_im = carry[1:2, :Lm1]
+        # tail[r] = x[r, width-(L-1):], lane-rolled to offset 0
+        tail_re = pltpu.roll(rre, Lm1, 1)[:, :Lm1]
+        tail_im = pltpu.roll(rim, Lm1, 1)[:, :Lm1]
 
-    def frames_for(x, hist_row):
-        # tail[r] = x[r, width-(L-1):]; the circular lane roll re-aligns the
-        # slice to lane offset 0 — Mosaic cannot concatenate operands whose
-        # lane offsets differ.
-        tail = pltpu.roll(x, Lm1, 1)[:, :Lm1]
-        left = jnp.concatenate([hist_row, tail[:-1]], axis=0)
-        frames = jnp.concatenate([left, x[:, : row_len - Lm1]], axis=1)
-        return frames, tail[rows - 1:rows]
-
-    fr, new_fir_re = frames_for(rre, hist_re)
-    fi, new_fir_im = frames_for(rim, hist_im)
-    frames = jnp.concatenate([fr, fi], axis=0).astype(jnp.bfloat16)
+    new_fir_re = tail_re[rows - 1:rows]
+    new_fir_im = tail_im[rows - 1:rows]
+    fr = frames_of(rre, hist_re, tail_re)
+    fi = frames_of(rim, hist_im, tail_im)
+    frames = jnp.concatenate([fr, fi], axis=0)
+    if frames.dtype != jnp.bfloat16:
+        frames = frames.astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
     y = (
         jax.lax.dot_general(frames, w_hi_ref[:], dn,
@@ -261,7 +288,7 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
     )  # (2*rows, 128); y[r*128+c] is decimated sample m = r*128+c
     y_re = y[:rows]
     y_im = y[rows:]
-    if unpack_impl == "dcfold":
+    if dc:
         # y_true = 2*y_raw - corr[phase]; corr rows 0-3 are the re
         # correction per phase, 4-7 the im correction.
         p = phase_ref[b]
@@ -272,8 +299,8 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
             corr_im = jnp.where(p == k, corr_ref[4 + k:5 + k], corr_im)
         y_re = 2.0 * y_re - corr_re
         y_im = 2.0 * y_im - corr_im
-        new_fir_re = 2.0 * new_fir_re - p_re
-        new_fir_im = 2.0 * new_fir_im - p_im
+        new_fir_re = 2.0 * new_fir_re.astype(jnp.float32) - p_re
+        new_fir_im = 2.0 * new_fir_im.astype(jnp.float32) - p_im
 
     # ---- quadrature discriminator: angle(x[k] * conj(x[k-1])) / pi ----
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
@@ -384,7 +411,7 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
     stations, nchunks = data_i16.shape[0], data_i16.shape[1]
-    if unpack_impl == "dcfold":
+    if unpack_impl in ("dcfold", "dcfold_bf16"):
         corr = _dc_corr(w_hi, w_lo, spec)
     else:
         corr = jnp.zeros((8, 128), jnp.float32)
