@@ -270,3 +270,43 @@ def test_rtl_sdr_capture_stdout_counter(tmp_path):
         assert len(data) == 131072
     finally:
         fake.clear_fake_devices()
+
+
+def test_rtl_eeprom_dump_and_parse(capsys):
+    """rtl_eeprom (beyond-reference, read-only): hex dump + parsed layout
+    from a crafted fake EEPROM — magic, VID/PID, UTF-16LE strings,
+    have-serial flag, and the byte-7 hack bits exactly as init reads
+    them."""
+    from tpu_sdr.apps.rtl_eeprom import main
+    from tpu_sdr.control import fake
+
+    def desc(s):
+        raw = s.encode("utf-16-le")
+        return bytes([len(raw) + 2, 0x03]) + raw
+
+    eeprom = bytearray(256)
+    eeprom[0:2] = b"\x28\x32"
+    eeprom[2:4] = (0x0BDA).to_bytes(2, "little")
+    eeprom[4:6] = (0x2838).to_bytes(2, "little")
+    eeprom[6] = 0xA5  # have serial
+    eeprom[7] = 0x01  # bit1=0 -> force bias tee; bit0=1 -> force direct
+    strings = desc("Realtek") + desc("RTL2838UHIDIR") + desc("00000101")
+    eeprom[9:9 + len(strings)] = strings
+
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="ee000001", eeprom=bytes(eeprom)))
+    try:
+        rc = main([])
+        assert rc == 0
+    finally:
+        fake.clear_fake_devices()
+    out = capsys.readouterr().out
+    assert "0x28 0x32 (valid)" in out
+    assert "0x0bda" in out and "0x2838" in out
+    assert "Manufacturer:     Realtek" in out
+    assert "Product:          RTL2838UHIDIR" in out
+    assert "Serial:           00000101" in out
+    assert "Have serial:      yes" in out
+    assert "Force bias tee:   yes" in out
+    assert "Force direct smp: yes" in out

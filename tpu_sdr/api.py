@@ -227,6 +227,11 @@ class RtlSdr:
     def read_sync(self, length: int = DEFAULT_BUF_LENGTH) -> bytes:
         return self._core.read_sync(length)
 
+    def read_eeprom(self, offset: int, length: int) -> bytes:
+        """Read the configuration EEPROM (byte-at-a-time I2C at 0xa0,
+        ref src/device/mod.rs:145-152)."""
+        return self._core.handle.read_eeprom(offset, length)
+
     # -- configuration -----------------------------------------------------
 
     def get_center_freq(self) -> int:
