@@ -520,3 +520,26 @@ def test_tpu_wideband_pallas_front_decodes_station():
     snr = synth.tone_snr(np.asarray(audio[0], np.float64), 1000.0, 32_000,
                          skip=1500)
     assert snr > 25, f"Mosaic PFB front lost the station tone: {snr:.1f} dB"
+
+
+def test_tpu_psd_tone_bin():
+    """ops/spectrum.py on hardware: XLA's TPU FFT lowering + the on-device
+    power accumulator put a complex tone in the right fftshifted bin."""
+    from tpu_sdr.ops import spectrum as S
+
+    n_fft, frac = 1024, 0.125
+    rng = np.random.default_rng(2)
+    n = 64 * n_fft
+    t = np.arange(n)
+    ph = 2 * np.pi * frac * t
+    u8 = np.empty(2 * n, np.uint8)
+    u8[0::2] = np.clip(np.round(127.5 + 100 * np.cos(ph)
+                                + rng.normal(0, 1, n)), 0, 255)
+    u8[1::2] = np.clip(np.round(127.5 + 100 * np.sin(ph)
+                                + rng.normal(0, 1, n)), 0, 255)
+    ps = S.PsdStreamer(n_fft)
+    ps.accumulate(u8)
+    db = ps.finalize_db()
+    peak = int(np.argmax(db))
+    assert abs(peak - (n_fft // 2 + int(round(frac * n_fft)))) <= 1
+    assert db[peak] - np.median(db) > 30
