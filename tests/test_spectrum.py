@@ -133,3 +133,23 @@ def test_rtl_power_device_scan_two_hops():
         # WBFM energy spreads +-deviation (75 kHz) around the carrier
         assert abs(peak_hz - (center - rate / 4)) < 90_000, (
             f"hop at {center}: peak {peak_hz}")
+
+
+def test_rtl_power_multi_pass_waterfall():
+    """-p N repeats the scan: N x hops rows (the waterfall time series)."""
+    from tpu_sdr.apps.rtl_power import main
+    from tpu_sdr.control import fake
+
+    rate = 1_020_000
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="pw000002",
+        source_factory=lambda: fake.SynthFmSource(capture_rate=rate)))
+    try:
+        rc, text = _run_capture_text(
+            main, ["-f", f"94M:{94_000_000 + rate}:8k", "-s", str(rate),
+                   "-b", "1", "-p", "3"])
+    finally:
+        fake.clear_fake_devices()
+    assert rc == 0
+    assert len(_parse_rows(text)) == 3  # one hop x three passes

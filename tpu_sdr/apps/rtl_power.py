@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     p.add_argument("-g", "--gain", type=float, default=None)
     p.add_argument("-b", "--blocks", type=int, default=2,
                    help="integration: blocks read per hop")
+    p.add_argument("-p", "--passes", type=int, default=1,
+                   help="repeat the whole scan N times, one row set per "
+                        "pass (waterfall/time series; 0 = until "
+                        "interrupted)")
     p.add_argument("--file", default=None,
                    help="compute one PSD row from this capture instead of "
                         "a device")
@@ -124,18 +128,27 @@ def main(argv=None) -> int:
                       f"bin {rate / n_fft:.0f} Hz", file=sys.stderr)
                 import numpy as np
 
-                for center in centers:
-                    sdr.set_center_freq(center)
-                    sdr.reset_buffer()
-                    ps = PsdStreamer(n_fft)
-                    for _ in range(args.blocks):
-                        data = sdr.read_sync(DEFAULT_BUF_LENGTH)
-                        if len(data) < DEFAULT_BUF_LENGTH:
-                            print("Short read, hop truncated",
-                                  file=sys.stderr)
-                            break
-                        ps.accumulate(np.frombuffer(data, np.uint8))
-                    rows += _emit(out, center, low, high, rate, n_fft, ps)
+                done = 0
+                try:
+                    while args.passes == 0 or done < args.passes:
+                        for center in centers:
+                            sdr.set_center_freq(center)
+                            sdr.reset_buffer()
+                            ps = PsdStreamer(n_fft)
+                            for _ in range(args.blocks):
+                                data = sdr.read_sync(DEFAULT_BUF_LENGTH)
+                                if len(data) < DEFAULT_BUF_LENGTH:
+                                    print("Short read, hop truncated",
+                                          file=sys.stderr)
+                                    break
+                                ps.accumulate(
+                                    np.frombuffer(data, np.uint8))
+                            rows += _emit(out, center, low, high, rate,
+                                          n_fft, ps)
+                        done += 1
+                        out.flush()
+                except KeyboardInterrupt:
+                    print("\nUser cancel, exiting...", file=sys.stderr)
             finally:
                 sdr.close()
     finally:
