@@ -207,11 +207,13 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
+        # g=8 first: it won every clean interleaved A/B (round 3) — the
+        # primary geometry must not depend on budget remaining.
         try:
-            r = bench_pallas(host_block, chunks_per_step=2)
+            r = bench_pallas(host_block, chunks_per_step=8)
             if r:
                 results["pallas"], timing["pallas"] = r
-                timing["pallas_geometry"] = "chunks_per_step=2"
+                timing["pallas_geometry"] = "chunks_per_step=8"
         except Exception:
             pass
     try:
@@ -223,13 +225,13 @@ def main() -> None:
         results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
     except Exception:
         pass
-    # optional extra geometry, only if the budget allows (~15% candidate)
+    # optional extra geometry, only if the budget allows
     if on_tpu and _left() > 120:
         try:
-            r = bench_pallas(host_block, chunks_per_step=8)
+            r = bench_pallas(host_block, chunks_per_step=2)
             if r and ("pallas" not in results or r[0] < results["pallas"]):
                 results["pallas"], timing["pallas"] = r
-                timing["pallas_geometry"] = "chunks_per_step=8"
+                timing["pallas_geometry"] = "chunks_per_step=2"
         except Exception:
             pass
 
