@@ -310,3 +310,30 @@ def test_rtl_eeprom_dump_and_parse(capsys):
     assert "Have serial:      yes" in out
     assert "Force bias tee:   yes" in out
     assert "Force direct smp: yes" in out
+
+
+def test_rtl_fm_squelch_flag(tmp_path):
+    """rtl_fm -l: a threshold above the signal mutes the whole capture
+    (s16 zeros on stdout); wbfm mode rejects the flag."""
+    from tpu_sdr.apps.rtl_fm import main
+
+    n = 510 * 300
+    t = np.arange(n) / 1_020_000
+    bb = 0.45 * (1.0 + 0.8 * np.sin(2 * np.pi * 1_000.0 * t))
+    k = np.arange(n) % 4
+    off = np.choose(k, [1 + 0j, -1j, -1 + 0j, 1j])
+    sig = bb * off
+    iq = np.empty(2 * n)
+    iq[0::2], iq[1::2] = sig.real, sig.imag
+    path = tmp_path / "am_sq.bin"
+    path.write_bytes(np.clip(np.round(iq * 127.0 + 127.5), 0, 255)
+                     .astype(np.uint8).tobytes())
+
+    rc, audio = _run_capture_stdout(
+        main, ["-M", "am", "--file", str(path), "-l", "0"])
+    assert rc == 0
+    pcm = np.frombuffer(audio, dtype="<i2")
+    assert len(pcm) > 1000 and np.all(pcm == 0)
+
+    with pytest.raises(SystemExit):
+        main(["-M", "wbfm", "--file", str(path), "-l", "-40"])

@@ -75,3 +75,40 @@ def test_streaming_invariance_am():
     cut = (len(u8) // 2) - ((len(u8) // 2) % QUANTUM)
     split = np.concatenate([two.demodulate(u8[:cut]), two.demodulate(u8[cut:])])
     np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)
+
+
+def test_squelch_gates_on_channel_power():
+    """Squelch (beyond-reference: the original rtl_fm's -l, which the port
+    dropped): a threshold below the signal leaves the audio intact; one
+    above it mutes every block."""
+    n = _n_samples(0.4)
+    t = np.arange(n) / FS
+    bb = 0.45 * (1.0 + 0.8 * np.sin(2 * np.pi * 1_000.0 * t))
+    u8 = _to_u8(bb.astype(np.complex128))
+
+    open_ = MM.MultimodeStreamer(MM.MultimodeConfig(mode="am",
+                                                    squelch_db=-40.0))
+    audio = open_.demodulate(u8)
+    snr = synth.tone_snr(audio.astype(np.float64), 1_000.0, 32_000, skip=400)
+    assert snr >= 30.0, f"squelch open degraded audio: {snr:.1f} dB"
+
+    closed = MM.MultimodeStreamer(MM.MultimodeConfig(mode="am",
+                                                     squelch_db=0.0))
+    muted = closed.demodulate(u8)
+    assert muted.shape == audio.shape
+    assert np.all(muted == 0.0)
+
+
+def test_squelch_mutes_noise_only_capture():
+    """Noise-only input stays below a modest threshold -> silence; the
+    same capture passes with squelch off."""
+    rng = np.random.default_rng(9)
+    n = _n_samples(0.2)
+    bb = (rng.normal(0, 0.003, n) + 1j * rng.normal(0, 0.003, n))
+    u8 = _to_u8(bb)
+
+    s = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm",
+                                                squelch_db=-35.0))
+    assert np.all(s.demodulate(u8) == 0.0)
+    s_off = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm"))
+    assert np.any(s_off.demodulate(u8) != 0.0)

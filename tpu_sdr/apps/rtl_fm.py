@@ -29,7 +29,8 @@ from tpu_sdr.utils.units import parse_scaled
 log = logging.getLogger("rtl_fm")
 
 
-def make_streamer(mode: str, rds: bool = False):
+def make_streamer(mode: str, rds: bool = False,
+                  squelch_db: float | None = None):
     if mode == "wbfm":
         from tpu_sdr.models import wbfm
 
@@ -38,7 +39,8 @@ def make_streamer(mode: str, rds: bool = False):
     from tpu_sdr.models import multimode as MM
 
     mm = {"fm": "nbfm", "am": "am", "usb": "usb", "lsb": "lsb"}[mode]
-    return MM.MultimodeStreamer(MM.MultimodeConfig(mode=mm))
+    return MM.MultimodeStreamer(MM.MultimodeConfig(mode=mm,
+                                                   squelch_db=squelch_db))
 
 
 def main(argv=None) -> int:
@@ -59,13 +61,23 @@ def main(argv=None) -> int:
     p.add_argument("--blocks", type=int, default=0,
                    help="stop after N blocks (device/tcp modes; 0 = run "
                         "until interrupted)")
+    p.add_argument("-l", dest="squelch_db", type=float, default=None,
+                   metavar="DBFS",
+                   help="squelch: mute blocks whose filtered channel power "
+                        "is below this dBFS threshold (narrowband modes; "
+                        "the original rtl_fm's -l, in dB instead of raw "
+                        "units)")
     args = p.parse_args(argv)
     if args.rds and args.mode != "wbfm":
         p.error("--rds requires -M wbfm (RDS rides the FM multiplex)")
+    if args.squelch_db is not None and args.mode == "wbfm":
+        p.error("-l squelch applies to the narrowband modes "
+                "(-M fm|am|usb|lsb)")
 
     from tpu_sdr.native import f32_to_s16
 
-    streamer = make_streamer(args.mode, rds=args.rds)
+    streamer = make_streamer(args.mode, rds=args.rds,
+                             squelch_db=args.squelch_db)
     rds_rx = None
     if args.rds:
         from tpu_sdr.models import rds as rds_mod

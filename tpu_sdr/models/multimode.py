@@ -45,6 +45,12 @@ class MultimodeConfig:
     audio_bw: float = 3_000.0     # Hz (SSB)
     channel_taps: int = 129
     resample_taps_per_phase: int = 48
+    # Squelch: mute the block when mean channel power (after the channel
+    # filter, full scale = 1.0) falls below this dBFS threshold.  None =
+    # always open.  Per-block gate like the original rtl_fm's -l (which
+    # the reference port dropped along with the -M modes); rtl_fm uses
+    # raw linear units, here it is dBFS for sanity.
+    squelch_db: float | None = None
 
     @property
     def resample_up(self) -> int:
@@ -150,6 +156,7 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
         ph2 = 2 * np.pi * (shift / config.rate_resample) * k2
         audio = sr32 * jnp.cos(ph2) + si32 * jnp.sin(ph2)
         ssb_phase2 = (state.ssb_phase2 + m) % jnp.int32(config.rate_resample)
+        audio = _squelch(audio, sr32, si32, config)
         return audio, MultimodeState(rot, fir, chan, quad, rs, rs_q,
                                      ssb_phase, ssb_phase2)
 
@@ -165,8 +172,19 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
 
     audio, rs = F.aligned_resample(audio_ch, params.resamp_V, up, down,
                                    state.resamp)
+    audio = _squelch(audio, re, im, config)
     return audio, MultimodeState(rot, fir, chan, quad, rs, state.resamp_q,
                                  ssb_phase, ssb_phase2)
+
+
+def _squelch(audio, ch_re, ch_im, config: MultimodeConfig):
+    """Mute the block when the filtered channel's mean power is below the
+    configured dBFS threshold (no-op when squelch is off)."""
+    if config.squelch_db is None:
+        return audio
+    p = jnp.mean(ch_re * ch_re + ch_im * ch_im)
+    open_ = p > jnp.float32(10.0 ** (config.squelch_db / 10.0))
+    return jnp.where(open_, audio, jnp.zeros_like(audio))
 
 
 jax.tree_util.register_pytree_node(
