@@ -422,3 +422,59 @@ def test_sysfreq_sel_delivery_system_tables():
         assert (backend.tuner_regs[0x1A] & 0x30) == 0x20  # agc clk 60 Hz
     finally:
         core.set_i2c_repeater(False)
+
+
+# ---------------------------------------------------------------------------
+# PLL register inversion (frequency-aware simulator ground truth)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("freq", [25_000_000, 100_000_000, 434_000_000,
+                                  868_000_000, 1_200_000_000, 1_766_000_000])
+def test_decode_tuned_freq_roundtrip(freq):
+    """fake.decode_tuned_freq inverts the registers the REAL R82xx driver
+    wrote: set_center_freq(f) across the tuning range round-trips through
+    the PLL (mix_div/Nint/SDM) + DDC-IF register state to within the SDM
+    quantization (<1 kHz)."""
+    fake.clear_fake_devices()
+    fake.register_fake_device()
+    sdr = api.RtlSdr.open_with_index(0)
+    try:
+        sdr.set_center_freq(freq)
+        backend = sdr._core.handle.handle
+        got = fake.decode_tuned_freq(backend)
+        assert abs(got - freq) < 1000, f"{freq} decoded as {got}"
+    finally:
+        sdr.close()
+        fake.clear_fake_devices()
+
+
+def test_decode_tuned_freq_tracks_retune():
+    fake.clear_fake_devices()
+    fake.register_fake_device()
+    sdr = api.RtlSdr.open_with_index(0)
+    try:
+        backend = sdr._core.handle.handle
+        for f in (94_900_000, 105_300_000, 162_550_000):
+            sdr.set_center_freq(f)
+            assert abs(fake.decode_tuned_freq(backend) - f) < 1000
+    finally:
+        sdr.close()
+        fake.clear_fake_devices()
+
+
+def test_decode_tuned_freq_blog_v4_fake_probes_r820t():
+    """A Blog-V4 fake still probes as an R820T (the fake's I2C tunnel is
+    address-agnostic, so the first KNOWN_TUNERS entry wins) — the decoder
+    uses R820T semantics unconditionally and must still round-trip."""
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(is_blog_v4=True))
+    sdr = api.RtlSdr.open_with_index(0)
+    try:
+        backend = sdr._core.handle.handle
+        for f in (100_000_000, 434_000_000, 1_090_000_000):
+            sdr.set_center_freq(f)
+            got = fake.decode_tuned_freq(backend)
+            assert abs(got - f) < 1000, f"{f} decoded as {got}"
+    finally:
+        sdr.close()
+        fake.clear_fake_devices()

@@ -291,3 +291,57 @@ def clear_fake_devices() -> None:
 def fake_devices() -> list[FakeDeviceSpec]:
     with _registry_lock:
         return list(_registry)
+
+
+def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
+    """Invert the R82xx PLL + RTL2832U DDC register state into the tuned
+    RF frequency in Hz.
+
+    This is the register-level ground truth for frequency-aware simulated
+    sources (NEXT.md): it reads ONLY what the driver actually wrote —
+    tuner regs 0x10 (mixer divider), 0x14 (Nint as 4*Ni2c + Si2c + 13),
+    0x15/0x16 (SDM fraction, gated by the 0x12 power-down bit), and demod
+    page-1 0x19-0x1b (DDC IF as a signed 22-bit fraction of the RTL
+    xtal) — and reverses r82xx.set_pll / rtlsdr.set_if_freq exactly:
+
+        vco = 2*pll_ref*Nint + 2*pll_ref*sdm/65536
+        lo  = vco / mix_div
+        rf  = lo - if_freq           (set_freq: lo = rf + int_freq)
+
+    R820T semantics throughout: the fake's I2C tunnel is address-agnostic
+    (``_i2c_read`` serves the same registers at every address), so the
+    driver's probe always matches the FIRST ``KNOWN_TUNERS`` entry — the
+    R820T at 0x34 — regardless of ``is_blog_v4``; with the served
+    ``vco_fine_tune == 2`` equal to the R820T's ``vco_power_ref``, the
+    driver's div_num adjustment is 0.  SDM resolution bounds the round
+    trip to ~2*pll_ref/65536/mix_div Hz (<1 kHz everywhere).
+    """
+    from tpu_sdr.control.rtlsdr import DEF_RTL_XTAL_FREQ
+
+    pll_ref = DEF_RTL_XTAL_FREQ
+
+    regs = backend.tuner_regs
+    div_num = (regs[0x10] >> 5) & 0x07
+    mix_div = 2 << div_num
+
+    b14 = regs[0x14]
+    si = (b14 >> 6) & 0x03
+    ni = b14 & 0x3F
+    nint = 4 * ni + si + 13
+
+    if regs[0x12] & 0x08:  # SDM powered down: integer-N mode
+        sdm = 0
+    else:
+        sdm = regs[0x15] | (regs[0x16] << 8)
+    vco = 2 * pll_ref * nint + (2 * pll_ref * sdm) // 65536
+    lo = vco // mix_div
+
+    r19 = backend.demod_regs.get((1, 0x19), 0) & 0x3F
+    r1a = backend.demod_regs.get((1, 0x1A), 0) & 0xFF
+    r1b = backend.demod_regs.get((1, 0x1B), 0) & 0xFF
+    v = (r19 << 16) | (r1a << 8) | r1b
+    if v & (1 << 21):  # sign-extend 22 bits
+        v -= 1 << 22
+    if_freq = -round(v * DEF_RTL_XTAL_FREQ / (1 << 22))
+
+    return lo - if_freq
