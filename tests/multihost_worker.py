@@ -61,14 +61,20 @@ def main() -> int:
     got = chain.assemble(audio_np, counts_np)
 
     if pid == 0:
-        # Serial reference: every station's stream through the one-chip
-        # streamer.  Recreate each host's bytes from its seed.
+        # Serial reference: one direct demodulate_block call per station
+        # (full consumption — the streamer trims to its 2*decim*down
+        # quantum and would emit fewer samples for this length).
+        # Recreate each host's bytes from its seed.
+        import jax.numpy as jnp
+
+        params = wbfm.make_params(config)
         exp_rows = []
         for p in range(n_proc):
             r = np.random.default_rng(100 + p)
             buf = r.integers(0, 256, size=2 * n_complex, dtype=np.uint8)
-            s = wbfm.WbfmStreamer(config)
-            exp_rows.append(s.demodulate(buf))
+            out = wbfm.demodulate_block(
+                jnp.asarray(buf), wbfm.init_state(config), params, config)
+            exp_rows.append(np.asarray(out[0])[: int(out[1])])
         exp = np.stack(exp_rows)
         assert got.shape == exp.shape, (got.shape, exp.shape)
         np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)

@@ -157,3 +157,31 @@ def test_split_bf16_decimator_matches_f32():
     err = got_bf16 - got_f32
     snr = 10 * np.log10(np.mean(got_f32**2) / max(np.mean(err**2), 1e-30))
     assert snr >= 80.0, f"split-bf16 vs f32 agreement too low: {snr:.1f} dB"
+
+
+@pytest.mark.parametrize("mode", ["fir", "boxcar"])
+def test_reference_block_size_streaming(mode):
+    """Feeding the reference's DEFAULT_BUF_LENGTH (262144-byte) blocks —
+    which are NOT multiples of the aligned-resampler quantum — must
+    produce exactly the same audio as one full-capture call.  Round-3
+    regression: a 2*decim streamer quantum let consecutive chunks flip
+    between the aligned and polyphase resampler paths (incompatible
+    carries), costing ~35 dB of tone SNR on every real device read."""
+    from tpu_sdr.models import wbfm
+
+    u8, _ = synth.synth_wbfm_u8(4 * 131072, capture_rate=1_020_000)
+    buf = np.asarray(u8, np.uint8)
+    one = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=mode))
+    full = one.demodulate(buf)
+    two = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode=mode))
+    split = np.concatenate([two.demodulate(buf[i:i + 262144])
+                            for i in range(0, len(buf), 262144)])
+    n = min(len(full), len(split))
+    np.testing.assert_allclose(split[:n], full[:n], rtol=1e-5, atol=1e-6)
+    snr = synth.tone_snr(split.astype(np.float64), 1_000.0, 32_000,
+                         skip=1500)
+    # fir is the quality chain; boxcar shares the reference integer
+    # chain's inherent boxcar-resampler aliasing (~20 dB, same as the
+    # exact mode's CLI floor)
+    floor = 45.0 if mode == "fir" else 19.0
+    assert snr >= floor, f"{mode} @ 262144-byte blocks: {snr:.1f} dB"

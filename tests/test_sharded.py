@@ -21,10 +21,21 @@ N_BYTES = 2 * 6 * 4096 * 8  # 196608 complex samples
 
 
 def _serial_reference(u8_2d: np.ndarray, config: wbfm.WbfmConfig) -> np.ndarray:
+    """Serial audio via ONE direct demodulate_block call per station.
+
+    Deliberately not WbfmStreamer: the sharded chain consumes the whole
+    stream in one jitted step, so the reference must too — the streamer
+    trims input to its 2*decim*down quantum (round-3 alignment fix) and
+    would emit fewer samples for these capture lengths."""
+    import jax.numpy as jnp
+
     rows = []
+    params = wbfm.make_params(config)
     for row in u8_2d:
-        s = wbfm.WbfmStreamer(config)
-        rows.append(s.demodulate(row))
+        out = wbfm.demodulate_block(
+            jnp.asarray(row), wbfm.init_state(config), params, config)
+        audio, count = out[0], out[1]
+        rows.append(np.asarray(audio)[: int(count)])
     return np.stack(rows)
 
 

@@ -152,6 +152,8 @@ class FakeUsbBackend:
         self.closed = False
         factory = self.spec.source_factory or CounterSource
         self._source = factory()
+        if hasattr(self._source, "attach"):
+            self._source.attach(self)  # frequency-aware sources
         self._counter = CounterSource()
         self.log: list[tuple] = []  # protocol trace for assertions
 
@@ -345,3 +347,76 @@ def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
     if_freq = -round(v * DEF_RTL_XTAL_FREQ / (1 << 22))
 
     return lo - if_freq
+
+
+def decode_sample_rate(backend: "FakeUsbBackend") -> int:
+    """Invert the resampler-ratio registers (demod page 1, 0x9F hi /
+    0xA1 lo; rtlsdr.set_sample_rate <- ref rtlsdr.rs:217-265) into the
+    actual sample rate in Hz.  2.048 Msps before any rate was set."""
+    from tpu_sdr.control.rtlsdr import DEF_RTL_XTAL_FREQ
+
+    hi = backend.demod_regs.get((1, 0x9F), 0) & 0xFFFF
+    lo = backend.demod_regs.get((1, 0xA1), 0) & 0xFFFF
+    ratio = (hi << 16) | lo
+    if ratio == 0:
+        return 2_048_000
+    real_ratio = ratio | ((ratio & 0x08000000) << 1)
+    return int(DEF_RTL_XTAL_FREQ * (1 << 22) / real_ratio)
+
+
+class StationSource(SampleSource):
+    """Stations at ABSOLUTE frequencies.
+
+    Each ``read`` decodes the dongle's CURRENT tuned frequency and sample
+    rate from the register state the driver actually programmed
+    (:func:`decode_tuned_freq` / :func:`decode_sample_rate`) and
+    synthesizes the baseband an antenna would deliver: every station
+    within the captured span appears at its true offset, with per-station
+    carrier-phase and modulation continuity across reads and retunes.
+    Makes the simulator frequency-selective — tune elsewhere and a
+    station genuinely disappears — which is what scan-mode tests need.
+
+    ``stations``: iterable of ``(freq_hz, audio_freq_hz, deviation_hz)``
+    WBFM stations (mono tone program).
+    """
+
+    def __init__(self, stations, amplitude: float = 0.4,
+                 noise_std: float = 0.004, seed: int = 0):
+        self.stations = [tuple(s) for s in stations]
+        self.amplitude = amplitude
+        self.noise_std = noise_std
+        self._rng = np.random.default_rng(seed)
+        self._carrier_ph = [0.0] * len(self.stations)
+        self._mod_ph = [0.0] * len(self.stations)
+        self._backend: FakeUsbBackend | None = None
+
+    def attach(self, backend: "FakeUsbBackend") -> None:
+        self._backend = backend
+
+    def read(self, length: int) -> bytes:
+        n = length // 2
+        assert self._backend is not None, "source not attached to a backend"
+        tuned = decode_tuned_freq(self._backend)
+        rate = decode_sample_rate(self._backend)
+
+        sig_re = self._rng.normal(0.0, self.noise_std, n)
+        sig_im = self._rng.normal(0.0, self.noise_std, n)
+        for idx, (f_st, f_audio, dev) in enumerate(self.stations):
+            offset = f_st - tuned
+            if abs(offset) > 0.5 * rate:
+                continue  # outside the captured span
+            audio = np.sin(self._mod_ph[idx]
+                           + 2 * np.pi * f_audio / rate * np.arange(n))
+            self._mod_ph[idx] = float(
+                (self._mod_ph[idx] + 2 * np.pi * f_audio / rate * n)
+                % (2 * np.pi))
+            inst = offset + dev * audio  # instantaneous frequency, Hz
+            ph = self._carrier_ph[idx] + 2 * np.pi / rate * np.cumsum(inst)
+            self._carrier_ph[idx] = float(ph[-1] % (2 * np.pi))
+            sig_re += self.amplitude * np.cos(ph)
+            sig_im += self.amplitude * np.sin(ph)
+
+        u8 = np.empty(2 * n, np.uint8)
+        u8[0::2] = np.clip(np.round(127.5 + 127.0 * sig_re), 0, 255)
+        u8[1::2] = np.clip(np.round(127.5 + 127.0 * sig_im), 0, 255)
+        return u8.tobytes()

@@ -240,7 +240,15 @@ class WbfmStreamer:
 
     def demodulate(self, buf: np.ndarray) -> np.ndarray:
         data = np.concatenate([self._pending, np.asarray(buf, dtype=np.uint8)])
-        quantum = 2 * self.config.decim
+        # Quantum 2*decim*down keeps every jitted block on the ALIGNED
+        # resampler path (n_out % down == 0).  A 2*decim quantum let a
+        # chunk sequence flip between the aligned frame matmul and the
+        # unaligned polyphase path, whose carries are not interchangeable
+        # — the reference's own 262144-byte blocks (131072 % 510 != 0)
+        # alternated paths and cost ~35 dB of tone SNR (found round 3 by
+        # the frequency-aware-source tests; regression:
+        # test_fm_fast.test_reference_block_size_streaming).
+        quantum = 2 * self.config.decim * self.config.resample_down
         usable = len(data) - (len(data) % quantum)
         self._pending = data[usable:]
         if usable == 0:
