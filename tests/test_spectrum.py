@@ -104,15 +104,17 @@ def test_rtl_power_file_mode(tmp_path):
     assert abs(peak_hz - (center + rate / 8)) <= 2 * step
 
 
-def test_rtl_power_device_scan_two_hops():
-    """Device scan across two hops on a fake dongle synthesizing WBFM at
-    -fs/4 from the tuned center: each hop's row must bound itself
-    correctly and put its peak near center - fs/4."""
-    from tpu_sdr.apps.rtl_power import main
+def test_rtl_power_device_scan_multi_hop():
+    """Device scan across hops on a fake dongle synthesizing WBFM at
+    -fs/4 from the tuned center: rows are cropped to the usable 80% of
+    each hop (band-edge rolloff), tile [low, high), and each puts its
+    peak near hop_center - fs/4."""
+    from tpu_sdr.apps.rtl_power import HOP_CROP, hop_centers, main
     from tpu_sdr.control import fake
 
     rate = 1_020_000
     low, high = 94_000_000, 94_000_000 + 2 * rate
+    centers = hop_centers(low, high, rate)
     fake.clear_fake_devices()
     fake.register_fake_device(fake.FakeDeviceSpec(
         serial="pw000001",
@@ -124,15 +126,21 @@ def test_rtl_power_device_scan_two_hops():
         fake.clear_fake_devices()
     assert rc == 0
     rows = _parse_rows(text)
-    assert len(rows) == 2
-    assert rows[0][0] == low
-    assert rows[1][1] >= high
-    for hz_low, hz_high, step, bins in rows:
-        center = (hz_low + hz_high) // 2  # full-span hop rows
+    assert len(rows) == len(centers)
+    assert low <= rows[0][0] < low + rows[0][2]  # first bin at/just above low
+    assert rows[-1][1] >= high
+    usable = rate * HOP_CROP
+    for center, (hz_low, hz_high, step, bins) in zip(centers, rows):
+        # cropped to the usable fraction around the hop center
+        assert hz_low >= center - usable / 2 - step
+        assert hz_high <= min(high, center + usable / 2) + step
+        # contiguous tiling of the scan range (no gaps between rows)
         peak_hz = hz_low + step * int(np.argmax(bins))
         # WBFM energy spreads +-deviation (75 kHz) around the carrier
         assert abs(peak_hz - (center - rate / 4)) < 90_000, (
             f"hop at {center}: peak {peak_hz}")
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt[0] <= prev[1] + prev[2]
 
 
 def test_rtl_power_multi_pass_waterfall():
@@ -145,6 +153,9 @@ def test_rtl_power_multi_pass_waterfall():
     fake.register_fake_device(fake.FakeDeviceSpec(
         serial="pw000002",
         source_factory=lambda: fake.SynthFmSource(capture_rate=rate)))
+    from tpu_sdr.apps.rtl_power import hop_centers
+
+    n_hops = len(hop_centers(94_000_000, 94_000_000 + rate, rate))
     try:
         rc, text = _run_capture_text(
             main, ["-f", f"94M:{94_000_000 + rate}:8k", "-s", str(rate),
@@ -152,4 +163,4 @@ def test_rtl_power_multi_pass_waterfall():
     finally:
         fake.clear_fake_devices()
     assert rc == 0
-    assert len(_parse_rows(text)) == 3  # one hop x three passes
+    assert len(_parse_rows(text)) == 3 * n_hops  # hops x three passes

@@ -19,6 +19,7 @@ optional output file.
 from __future__ import annotations
 
 import argparse
+import math
 import sys
 import time
 
@@ -47,23 +48,33 @@ def fft_size_for(rate: int, step: int, max_fft: int = 1 << 15) -> int:
     return n
 
 
+# Keep the center 80% of each hop's bins: the outer bins sit in the
+# tuner/anti-alias rolloff at the hop edges and bias readings on real
+# hardware, so hops overlap by 20% of fs (osmocom rtl_power crops the
+# same way).
+HOP_CROP = 0.8
+
+
 def hop_centers(low: int, high: int, rate: int) -> list[int]:
+    usable = int(rate * HOP_CROP)
     centers = []
-    c = low + rate // 2
-    while c - rate // 2 < high:
+    c = low + usable // 2
+    while c - usable // 2 < high:
         centers.append(c)
-        c += rate
+        c += usable
     return centers
 
 
 def row_for(center: int, low: int, high: int, rate: int, n_fft: int,
-            db, samples: float) -> tuple[int, int, float, list[float]]:
-    """Crop a hop's fftshifted bins to [low, high) -> (hz_low, hz_step,
-    bins)."""
+            db, crop: float = HOP_CROP) -> tuple[int, int, float, list[float]]:
+    """Crop a hop's fftshifted bins to the usable ``crop`` fraction of fs
+    intersected with [low, high) -> (hz_low, hz_high, hz_step, bins)."""
     bin_hz = rate / n_fft
     f0 = center - rate / 2  # frequency of bin 0
-    first = max(0, int((low - f0) / bin_hz))
-    last = min(n_fft, int((high - f0) / bin_hz + 0.999999))
+    lo = max(low, center - crop * rate / 2)
+    hi = min(high, center + crop * rate / 2)
+    first = max(0, math.ceil((lo - f0) / bin_hz))  # bins start >= lo
+    last = min(n_fft, int((hi - f0) / bin_hz + 0.999999))
     return (int(f0 + first * bin_hz), int(f0 + last * bin_hz), bin_hz,
             [round(float(v), 2) for v in db[first:last]])
 
@@ -109,7 +120,8 @@ def main(argv=None) -> int:
                     import numpy as np
 
                     ps.accumulate(np.frombuffer(chunk, np.uint8))
-            rows += _emit(out, center, low, high, rate, n_fft, ps)
+            rows += _emit(out, center, low, high, rate, n_fft, ps,
+                          crop=1.0)
         else:
             low, high, step = parse_range(args.freq)
             n_fft = fft_size_for(rate, step)
@@ -159,10 +171,13 @@ def main(argv=None) -> int:
     return 0
 
 
-def _emit(out, center, low, high, rate, n_fft, ps) -> int:
+def _emit(out, center, low, high, rate, n_fft, ps,
+          crop: float = HOP_CROP) -> int:
+    if int(ps.segments) == 0:
+        return 0  # capture shorter than one FFT segment: no data, no row
     db = ps.finalize_db()
     hz_low, hz_high, bin_hz, bins = row_for(
-        center, low, high, rate, n_fft, db, ps.segments)
+        center, low, high, rate, n_fft, db, crop)
     if not bins:
         return 0
     now = time.localtime()

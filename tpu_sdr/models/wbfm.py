@@ -224,10 +224,12 @@ def audio_to_s16(audio: np.ndarray, scale: float = 0.9) -> np.ndarray:
 class WbfmStreamer:
     """Host wrapper: feed u8 blocks of any size, receive trimmed float audio.
 
-    The jitted block transform needs byte counts divisible by ``2*decim``;
-    arbitrary input sizes (e.g. the reference's 262144-byte blocks with
-    131072 % 6 != 0) are handled by carrying the residual bytes to the next
-    call — the residual cycles through at most ``decim`` distinct values, so
+    The jitted block transform consumes byte counts divisible by
+    ``2*decim*resample_down`` (e.g. 1020 for decim=6, down=85) so every
+    block stays on the aligned resampler path; arbitrary input sizes (e.g.
+    the reference's 262144-byte blocks) are handled by carrying the
+    residual bytes to the next call.  For a fixed input block size the
+    usable length settles to a couple of distinct values, so jit
     recompilation is bounded.
     """
 

@@ -411,6 +411,12 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
     stations, nchunks = data_i16.shape[0], data_i16.shape[1]
+    if rot_impl != "broadcast" and unpack_impl in ("dcfold", "dcfold_bf16"):
+        # dcfold structurally requires the broadcast rotation (the DC
+        # correction is derived from the broadcast sign pattern); callers
+        # selecting rot_impl="select" alone get the equivalent 'scale'
+        # unpack instead of a kernel assert mid-trace.
+        unpack_impl = "scale"
     if unpack_impl in ("dcfold", "dcfold_bf16"):
         corr = _dc_corr(w_hi, w_lo, spec)
     else:
