@@ -83,6 +83,14 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
             "local shard must be a multiple of 4 samples (rotation phase) "
             "and the decimation factor")
         n_out = n_loc // decim
+        # Halos are pulled from the IMMEDIATE left neighbor only; a shard
+        # shorter than the FIR halo would silently read zero-padding
+        # (caught round 4 when the multichip dryrun gained its exactness
+        # check).  The resampler-side halo is checked in resample_shard.
+        if config.filter_mode != "boxcar":
+            assert n_loc >= num_taps - 1, (
+                f"time shard too small for the single-neighbor FIR halo: "
+                f"n_loc={n_loc} needs >= {num_taps - 1} raw samples")
 
         # --- u8 -> centered float, fs/4 rotate (phase 0 on every shard
         # because shard lengths are multiples of 4 samples) ---------------
@@ -160,6 +168,13 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
     start = shard * n_out  # global index of our first demod sample
 
     aligned = n_out % down == 0  # static; both modes share (up, down)
+    # Single-neighbor halo bound (see make_sharded_wbfm): the widest
+    # demod-side halo any path below pulls.
+    max_halo = 0 if config.filter_mode == "boxcar" and aligned else (
+        _cdiv(fast, slow) if config.filter_mode == "boxcar" else T - 1)
+    assert n_out >= max_halo, (
+        f"time shard too small for the single-neighbor resampler halo: "
+        f"n_out={n_out} needs >= {max_halo} demodulated samples")
     if aligned:
         # Frame-matmul path (MXU): every shard starts on a frame boundary,
         # so the per-shard resample is the serial aligned op with the left
