@@ -1,0 +1,145 @@
+"""rtl_fm scan mode: squelch-driven multi-frequency hopping.
+
+The original C rtl_fm accepts repeated ``-f`` (and ``-f a:b:c`` ranges)
+and hops between them on squelch — the surface the reference port dropped
+(its simple_fm takes one frequency).  These tests drive the full arc on
+the register-level fake: frequency-aware StationSource antennas at
+ABSOLUTE frequencies, PLL-decoded retunes, squelch measurement on the TPU
+data plane, host hop decisions.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from tpu_sdr.control import fake
+
+RATE = 1_020_000
+F_A, F_EMPTY, F_B = 94_900_000, 95_200_000, 95_500_000
+TONE_A, TONE_B = 800.0, 1_500.0
+
+
+@pytest.fixture
+def scan_dongle():
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="scan0001",
+        source_factory=lambda: fake.StationSource(
+            [
+                # station A stops transmitting after 0.45 s of antenna
+                # time -> the scanner must leave F_A and find B
+                (F_A, TONE_A, 4_000.0, 0.0, 0.45),
+                (F_B, TONE_B, 4_000.0, 0.0, float("inf")),
+            ],
+            noise_std=0.002)))
+    yield
+    fake.clear_fake_devices()
+
+
+def _tone_db(pcm: np.ndarray, freq: float, rate: int = 32_000) -> float:
+    """Power at ``freq`` relative to total, from the whole scan output
+    (hop segments + muted gaps)."""
+    t = np.arange(len(pcm)) / rate
+    z = (pcm * np.exp(-2j * np.pi * freq * t)).mean()
+    tone_p = 2 * np.abs(z) ** 2
+    total = np.mean(pcm ** 2) + 1e-12
+    return 10 * np.log10(tone_p / total + 1e-12)
+
+
+def test_expand_freq_spec():
+    from tpu_sdr.apps.rtl_fm import expand_freq_spec
+
+    assert expand_freq_spec("94.9M") == [94_900_000]
+    assert expand_freq_spec("100k") == [100_000]
+    assert expand_freq_spec("88M:88.4M:200k") == [
+        88_000_000, 88_200_000, 88_400_000]
+    with pytest.raises(SystemExit):
+        expand_freq_spec("88M:87M:100k")
+    with pytest.raises(SystemExit):
+        expand_freq_spec("88M:89M")
+
+
+def test_scan_requires_squelch_and_narrowband(scan_dongle):
+    from tpu_sdr.apps.rtl_fm import main
+
+    with pytest.raises(SystemExit):
+        main(["-f", "94.9M", "-f", "95.5M", "--blocks", "1"])  # no -l
+    with pytest.raises(SystemExit):
+        main(["-f", "94.9M", "-f", "95.5M", "-l", "-30",
+              "--blocks", "1"])  # wbfm can't squelch-scan
+    with pytest.raises(SystemExit):
+        main(["-M", "fm", "-f", "94.9M", "-f", "95.5M", "-l", "-30",
+              "--file", "/dev/null"])  # file source can't retune
+
+
+def test_scan_finds_both_stations(scan_dongle, caplog, monkeypatch):
+    """Hop across {A, empty, B}: dwell on A while it transmits, hop away
+    when its carrier drops, skip the empty channel, land on B — both
+    stations' tones must reach the audio output."""
+    import io
+    import sys
+
+    from tpu_sdr.apps import rtl_fm
+
+    class _BinStdout:
+        def __init__(self):
+            self.buffer = io.BytesIO()
+
+        def flush(self):
+            pass
+
+        def write(self, s):
+            pass
+
+    out = _BinStdout()
+    monkeypatch.setattr(sys, "stdout", out)
+    with caplog.at_level(logging.INFO, logger="rtl_fm"):
+        rc = rtl_fm.main([
+            "-M", "fm", "-l", "-30", "--scan-hold", "2", "--blocks", "14",
+            "-f", str(F_A), "-f", str(F_EMPTY), "-f", str(F_B)])
+    assert rc == 0
+
+    found = [r.getMessage() for r in caplog.records
+             if "signal at" in r.getMessage()]
+    assert any(str(F_A) in m for m in found), f"A never found: {found}"
+    assert any(str(F_B) in m for m in found), f"B never found: {found}"
+    # the empty channel must never report a signal
+    assert not any(str(F_EMPTY) in m for m in found), found
+
+    pcm = np.frombuffer(out.buffer.getvalue(), dtype="<i2").astype(np.float64)
+    assert len(pcm) > 20_000
+    # both program tones are present in the scan's concatenated audio
+    db_a = _tone_db(pcm, TONE_A)
+    db_b = _tone_db(pcm, TONE_B)
+    assert db_a > -20, f"tone A {db_a:.1f} dB rel total"
+    assert db_b > -20, f"tone B {db_b:.1f} dB rel total"
+
+
+def test_scan_range_syntax_hops(scan_dongle, caplog, monkeypatch):
+    """-f start:stop:step covering both stations finds station B (the
+    always-on one) within the block budget."""
+    import io
+    import sys
+
+    from tpu_sdr.apps import rtl_fm
+
+    class _Out:
+        def __init__(self):
+            self.buffer = io.BytesIO()
+
+        def flush(self):
+            pass
+
+        def write(self, s):
+            pass
+
+    monkeypatch.setattr(sys, "stdout", _Out())
+    with caplog.at_level(logging.INFO, logger="rtl_fm"):
+        rc = rtl_fm.main([
+            "-M", "fm", "-l", "-30", "--scan-hold", "1", "--blocks", "14",
+            "-f", f"{F_A}:{F_B}:300k"])
+    assert rc == 0
+    found = [r.getMessage() for r in caplog.records
+             if "signal at" in r.getMessage()]
+    assert any(str(F_B) in m for m in found), f"B never found: {found}"

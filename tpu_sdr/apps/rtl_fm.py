@@ -29,6 +29,21 @@ from tpu_sdr.utils.units import parse_scaled
 log = logging.getLogger("rtl_fm")
 
 
+def expand_freq_spec(spec: str) -> list[int]:
+    """One ``-f`` value -> frequencies: either a single scaled number or an
+    inclusive ``start:stop:step`` range (the original rtl_fm's scan
+    syntax, e.g. ``118M:137M:25k``)."""
+    if ":" not in spec:
+        return [parse_scaled(spec)]
+    parts = spec.split(":")
+    if len(parts) != 3:
+        raise SystemExit(f"bad -f range '{spec}': want start:stop:step")
+    start, stop, step = (parse_scaled(s) for s in parts)
+    if step <= 0 or stop < start:
+        raise SystemExit(f"bad -f range '{spec}': want start<=stop, step>0")
+    return list(range(start, stop + 1, step))
+
+
 def make_streamer(mode: str, rds: bool = False,
                   squelch_db: float | None = None):
     if mode == "wbfm":
@@ -48,8 +63,13 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-M", dest="mode", default="wbfm",
                    choices=["wbfm", "fm", "am", "usb", "lsb"])
-    p.add_argument("-f", dest="frequency", type=parse_scaled,
-                   default=94_900_000)
+    p.add_argument("-f", dest="frequency", action="append", metavar="FREQ",
+                   help="center frequency; repeatable, and accepts "
+                        "start:stop:step ranges (e.g. -f 88M -f 92.5M or "
+                        "-f 118M:137M:25k).  More than one frequency plus "
+                        "-l enables squelch-driven scanning: hop while "
+                        "squelch is closed, dwell while open (the original "
+                        "rtl_fm scan loop; default 94.9M)")
     p.add_argument("--file", help="raw u8 I/Q capture (else open a device)")
     p.add_argument("--tcp", metavar="HOST:PORT",
                    help="stream from a remote rtl_tcp server instead of a "
@@ -67,12 +87,28 @@ def main(argv=None) -> int:
                         "is below this dBFS threshold (narrowband modes; "
                         "the original rtl_fm's -l, in dB instead of raw "
                         "units)")
+    p.add_argument("--scan-hold", type=int, default=4, metavar="N",
+                   help="scan mode: once a signal was heard at a "
+                        "frequency, require N consecutive squelch-closed "
+                        "blocks before hopping on (fade tolerance; the "
+                        "original's conseq_squelch)")
     args = p.parse_args(argv)
+    freqs = []
+    for spec in (args.frequency or ["94.9M"]):
+        freqs.extend(expand_freq_spec(spec))
+    scanning = len(freqs) > 1
     if args.rds and args.mode != "wbfm":
         p.error("--rds requires -M wbfm (RDS rides the FM multiplex)")
     if args.squelch_db is not None and args.mode == "wbfm":
         p.error("-l squelch applies to the narrowband modes "
                 "(-M fm|am|usb|lsb)")
+    if scanning:
+        if args.file:
+            p.error("scanning needs a tunable source, not --file")
+        if args.mode == "wbfm" or args.squelch_db is None:
+            p.error("scanning (multiple -f) requires a narrowband mode "
+                    "(-M fm|am|usb|lsb) and a -l squelch threshold to "
+                    "drive the hops")
 
     from tpu_sdr.native import f32_to_s16
 
@@ -106,6 +142,7 @@ def main(argv=None) -> int:
 
     cap = streamer.config.capture_rate if hasattr(streamer.config, "capture_rate") \
         else 1_020_000
+    sdr = None
     if args.tcp:
         from tpu_sdr.stream.feeder import RtlTcpClientSource
 
@@ -113,7 +150,14 @@ def main(argv=None) -> int:
         source = RtlTcpClientSource(host or "127.0.0.1", int(port))
         source.set_gain_mode(False)
         source.set_sample_rate(cap)
-        source.set_frequency(args.frequency + cap // 4)  # fs/4 offset
+        source.set_frequency(freqs[0] + cap // 4)  # fs/4 offset
+
+        def tune(freq: int) -> None:
+            source.set_frequency(freq + cap // 4)
+
+        def read_one() -> bytes | None:
+            return source.read_block(DEFAULT_BUF_LENGTH)
+
         log.info("Streaming from rtl_tcp://%s", args.tcp)
     else:
         from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
@@ -121,9 +165,25 @@ def main(argv=None) -> int:
         sdr = RtlSdr.open(DeviceId.index(args.device))
         sdr.set_tuner_gain(TunerGain.AUTO)
         sdr.set_sample_rate(cap)
-        sdr.set_center_freq(args.frequency + cap // 4)  # fs/4 offset capture
+        sdr.set_center_freq(freqs[0] + cap // 4)  # fs/4 offset capture
         sdr.reset_buffer()
         source = DeviceSource(sdr)
+
+        def tune(freq: int) -> None:
+            sdr.set_center_freq(freq + cap // 4)
+            sdr.reset_buffer()  # drop samples captured at the old tune
+
+        def read_one() -> bytes | None:
+            data = sdr.read_sync(DEFAULT_BUF_LENGTH)
+            return data if data else None
+
+    if scanning:
+        try:
+            return scan_loop(freqs, streamer, tune, read_one, emit,
+                             hold=args.scan_hold, max_blocks=args.blocks)
+        finally:
+            source.close()
+
     feeder = BlockFeeder(source).start()
     done = 0
     try:
@@ -136,6 +196,51 @@ def main(argv=None) -> int:
         pass
     finally:
         feeder.stop()
+    return 0
+
+
+def scan_loop(freqs: list[int], streamer, tune, read_one, emit,
+              hold: int = 4, max_blocks: int = 0) -> int:
+    """Squelch-driven frequency hopping (the original C rtl_fm's scan
+    loop, which the reference port dropped along with multi ``-f``).
+
+    Dwell at each frequency while the squelch is open; hop to the next as
+    soon as a block closes it — unless a signal was already heard during
+    this visit, in which case ``hold`` consecutive closed blocks are
+    required (fade tolerance, rtl_fm's ``conseq_squelch``).  Streaming
+    carries are dropped on every hop: samples before and after a retune
+    are not continuous.
+    """
+    import itertools
+
+    done = 0
+    order = itertools.cycle(range(len(freqs)))
+    for idx in order:
+        freq = freqs[idx]
+        tune(freq)
+        streamer.reset()
+        log.info("scan: %d Hz", freq)
+        heard = False
+        closed_run = 0
+        while True:
+            block = read_one()
+            if block is None:
+                log.info("scan: source ended")
+                return 0
+            emit(np.frombuffer(block, dtype=np.uint8))
+            done += 1
+            if streamer.last_squelch_open:
+                if not heard:
+                    log.info("scan: signal at %d Hz (%.1f dBFS)", freq,
+                             10 * np.log10(max(streamer.last_power, 1e-12)))
+                heard = True
+                closed_run = 0
+            else:
+                closed_run += 1
+            if max_blocks and done >= max_blocks:
+                return 0
+            if closed_run >= (hold if heard else 1):
+                break  # hop on
     return 0
 
 

@@ -377,17 +377,28 @@ class StationSource(SampleSource):
     station genuinely disappears — which is what scan-mode tests need.
 
     ``stations``: iterable of ``(freq_hz, audio_freq_hz, deviation_hz)``
-    WBFM stations (mono tone program).
+    WBFM stations (mono tone program), optionally extended to
+    ``(freq_hz, audio_freq_hz, deviation_hz, t_on_s, t_off_s)`` — the
+    station transmits only while antenna time (seconds of samples served)
+    is inside ``[t_on, t_off)``.  Finite transmissions are what
+    squelch-driven scan tests need: the scanner must leave a station when
+    its carrier drops.
     """
 
     def __init__(self, stations, amplitude: float = 0.4,
                  noise_std: float = 0.004, seed: int = 0):
-        self.stations = [tuple(s) for s in stations]
+        self.stations = []
+        for s in stations:
+            s = tuple(s)
+            if len(s) == 3:
+                s = s + (0.0, float("inf"))
+            self.stations.append(s)
         self.amplitude = amplitude
         self.noise_std = noise_std
         self._rng = np.random.default_rng(seed)
         self._carrier_ph = [0.0] * len(self.stations)
         self._mod_ph = [0.0] * len(self.stations)
+        self._samples = 0  # antenna time base, survives retunes
         self._backend: FakeUsbBackend | None = None
 
     def attach(self, backend: "FakeUsbBackend") -> None:
@@ -401,7 +412,10 @@ class StationSource(SampleSource):
 
         sig_re = self._rng.normal(0.0, self.noise_std, n)
         sig_im = self._rng.normal(0.0, self.noise_std, n)
-        for idx, (f_st, f_audio, dev) in enumerate(self.stations):
+        t = (self._samples + np.arange(n)) / rate  # antenna time, s
+        self._samples += n
+        for idx, (f_st, f_audio, dev, t_on, t_off) in enumerate(
+                self.stations):
             offset = f_st - tuned
             if abs(offset) > 0.5 * rate:
                 continue  # outside the captured span
@@ -413,8 +427,9 @@ class StationSource(SampleSource):
             inst = offset + dev * audio  # instantaneous frequency, Hz
             ph = self._carrier_ph[idx] + 2 * np.pi / rate * np.cumsum(inst)
             self._carrier_ph[idx] = float(ph[-1] % (2 * np.pi))
-            sig_re += self.amplitude * np.cos(ph)
-            sig_im += self.amplitude * np.sin(ph)
+            on = ((t >= t_on) & (t < t_off)).astype(np.float64)
+            sig_re += self.amplitude * on * np.cos(ph)
+            sig_im += self.amplitude * on * np.sin(ph)
 
         u8 = np.empty(2 * n, np.uint8)
         u8[0::2] = np.clip(np.round(127.5 + 127.0 * sig_re), 0, 255)

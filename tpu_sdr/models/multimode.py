@@ -117,8 +117,8 @@ def init_state(config: MultimodeConfig) -> MultimodeState:
 @partial(jax.jit, static_argnames=("config",))
 def demodulate_block(buf: jax.Array, state: MultimodeState,
                      params: MultimodeParams, config: MultimodeConfig):
-    """u8 I/Q block -> (audio (m,), new state).  Byte length must be a
-    multiple of 2 * decim * resample_down."""
+    """u8 I/Q block -> (audio (m,), channel power (scalar), new state).
+    Byte length must be a multiple of 2 * decim * resample_down."""
     L = config.decim * config.fir_taps_per_phase
     up, down = config.resample_up, config.resample_down
 
@@ -156,9 +156,10 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
         ph2 = 2 * np.pi * (shift / config.rate_resample) * k2
         audio = sr32 * jnp.cos(ph2) + si32 * jnp.sin(ph2)
         ssb_phase2 = (state.ssb_phase2 + m) % jnp.int32(config.rate_resample)
-        audio = _squelch(audio, sr32, si32, config)
-        return audio, MultimodeState(rot, fir, chan, quad, rs, rs_q,
-                                     ssb_phase, ssb_phase2)
+        power = _channel_power(sr32, si32)
+        audio = _squelch(audio, power, config)
+        return audio, power, MultimodeState(rot, fir, chan, quad, rs, rs_q,
+                                            ssb_phase, ssb_phase2)
 
     re, im, chan = F.fir_decimate_mxu(re, im, params.chan_W,
                                       config.channel_taps, 1, state.chan)
@@ -172,18 +173,24 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
 
     audio, rs = F.aligned_resample(audio_ch, params.resamp_V, up, down,
                                    state.resamp)
-    audio = _squelch(audio, re, im, config)
-    return audio, MultimodeState(rot, fir, chan, quad, rs, state.resamp_q,
-                                 ssb_phase, ssb_phase2)
+    power = _channel_power(re, im)
+    audio = _squelch(audio, power, config)
+    return audio, power, MultimodeState(rot, fir, chan, quad, rs,
+                                        state.resamp_q, ssb_phase, ssb_phase2)
 
 
-def _squelch(audio, ch_re, ch_im, config: MultimodeConfig):
+def _channel_power(ch_re, ch_im):
+    """Mean filtered-channel power (linear, full scale 1.0) — the squelch
+    measurement, also returned to the host for scan-mode hop decisions."""
+    return jnp.mean(ch_re * ch_re + ch_im * ch_im)
+
+
+def _squelch(audio, power, config: MultimodeConfig):
     """Mute the block when the filtered channel's mean power is below the
     configured dBFS threshold (no-op when squelch is off)."""
     if config.squelch_db is None:
         return audio
-    p = jnp.mean(ch_re * ch_re + ch_im * ch_im)
-    open_ = p > jnp.float32(10.0 ** (config.squelch_db / 10.0))
+    open_ = power > jnp.float32(10.0 ** (config.squelch_db / 10.0))
     return jnp.where(open_, audio, jnp.zeros_like(audio))
 
 
@@ -203,6 +210,9 @@ class MultimodeStreamer:
         self.state = init_state(self.config)
         self._quantum = 2 * self.config.decim * self.config.resample_down
         self._pending = np.zeros(0, dtype=np.uint8)
+        # squelch observables for the host (rtl_fm scan-mode hop decisions)
+        self.last_power: float | None = None
+        self.last_squelch_open: bool = True
 
     def demodulate(self, buf: np.ndarray) -> np.ndarray:
         data = np.concatenate([self._pending, np.asarray(buf, np.uint8)])
@@ -210,6 +220,18 @@ class MultimodeStreamer:
         self._pending = data[usable:]
         if usable == 0:
             return np.zeros(0, np.float32)
-        audio, self.state = demodulate_block(
+        audio, power, self.state = demodulate_block(
             jnp.asarray(data[:usable]), self.state, self.params, self.config)
+        self.last_power = float(power)
+        self.last_squelch_open = (
+            self.config.squelch_db is None
+            or self.last_power > 10.0 ** (self.config.squelch_db / 10.0))
         return np.asarray(audio)
+
+    def reset(self) -> None:
+        """Drop all streaming carries (used on a scan-mode retune: samples
+        before and after a hop are not continuous)."""
+        self.state = init_state(self.config)
+        self._pending = np.zeros(0, dtype=np.uint8)
+        self.last_power = None
+        self.last_squelch_open = True
