@@ -209,8 +209,17 @@ class FakeUsbBackend:
         if endpoint != C.BULK_IQ_ENDPOINT:
             raise UsbError(f"unexpected bulk endpoint {endpoint:#x}")
         if self.demod_regs.get((0, 0x19)) == 0x03:  # counter test mode
+            # digital pattern, injected after the ADC input mux: the
+            # direct-sampling swap below does not apply to it
             return self._counter.read(length)
-        return self._source.read(length)
+        data = self._source.read(length)
+        if decode_direct_sampling(self) == "on_swap":
+            # OnSwap routes the Q ADC instead of I (demod reg (0,0x06) =
+            # 0x90, ref rtlsdr.rs:308-315): the served I/Q pairs come out
+            # swapped, i.e. the spectrum conjugated/mirrored.
+            a = np.frombuffer(data, np.uint8).reshape(-1, 2)
+            data = np.ascontiguousarray(a[:, ::-1]).tobytes()
+        return data
 
     def get_usb_strings(self):
         return (self.spec.manufacturer, self.spec.product, self.spec.serial)
@@ -295,6 +304,33 @@ def fake_devices() -> list[FakeDeviceSpec]:
         return list(_registry)
 
 
+def decode_direct_sampling(backend: "FakeUsbBackend") -> str:
+    """Register-level direct-sampling state: the driver parks the tuner in
+    its standby sequence (tuner reg 0x05 = 0xA0, r82xx.rs:619-636) when
+    entering direct sampling and re-runs REG_INIT (0x05 = 0x83) when
+    leaving; the I/Q ADC input swap shows in demod reg (0, 0x06) = 0x90
+    (ref rtlsdr.rs:292-348)."""
+    if backend.tuner_regs[0x05] != 0xA0:
+        return "off"
+    if backend.demod_regs.get((0, 0x06), 0x80) == 0x90:
+        return "on_swap"
+    return "on"
+
+
+def decode_if_freq(backend: "FakeUsbBackend") -> int:
+    """Invert the RTL2832U DDC IF registers (demod page 1, 0x19-0x1B; ref
+    rtlsdr.set_if_freq <- rtlsdr.rs:178-192) into Hz."""
+    from tpu_sdr.control.rtlsdr import DEF_RTL_XTAL_FREQ
+
+    r19 = backend.demod_regs.get((1, 0x19), 0) & 0x3F
+    r1a = backend.demod_regs.get((1, 0x1A), 0) & 0xFF
+    r1b = backend.demod_regs.get((1, 0x1B), 0) & 0xFF
+    v = (r19 << 16) | (r1a << 8) | r1b
+    if v & (1 << 21):  # sign-extend 22 bits
+        v -= 1 << 22
+    return -round(v * DEF_RTL_XTAL_FREQ / (1 << 22))
+
+
 def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
     """Invert the R82xx PLL + RTL2832U DDC register state into the tuned
     RF frequency in Hz.
@@ -320,6 +356,12 @@ def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
     """
     from tpu_sdr.control.rtlsdr import DEF_RTL_XTAL_FREQ
 
+    if decode_direct_sampling(backend) != "off":
+        # Tuner bypassed: tuning is DDC-only (set_center_freq ->
+        # set_if_freq(freq), ref rtlsdr.rs:165-167) and the PLL registers
+        # are stale.
+        return decode_if_freq(backend)
+
     pll_ref = DEF_RTL_XTAL_FREQ
 
     regs = backend.tuner_regs
@@ -338,15 +380,7 @@ def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
     vco = 2 * pll_ref * nint + (2 * pll_ref * sdm) // 65536
     lo = vco // mix_div
 
-    r19 = backend.demod_regs.get((1, 0x19), 0) & 0x3F
-    r1a = backend.demod_regs.get((1, 0x1A), 0) & 0xFF
-    r1b = backend.demod_regs.get((1, 0x1B), 0) & 0xFF
-    v = (r19 << 16) | (r1a << 8) | r1b
-    if v & (1 << 21):  # sign-extend 22 bits
-        v -= 1 << 22
-    if_freq = -round(v * DEF_RTL_XTAL_FREQ / (1 << 22))
-
-    return lo - if_freq
+    return lo - decode_if_freq(backend)
 
 
 def decode_sample_rate(backend: "FakeUsbBackend") -> int:
