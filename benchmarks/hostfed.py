@@ -12,14 +12,18 @@ full TPU-native equivalent:
     -> audio folded into an on-device accumulator, ONE readback at the end
 
 and, with the same plumbing minus the compute, the pure H2D transport
-ceiling — so the result always says how close the pipeline runs to the
-wire.  A sliding window of in-flight blocks keeps JAX's async dispatch
-overlapping H2D with compute while bounding device-memory growth.
+ceiling.  **The headline is the pipeline/ceiling RATIO**, measured from
+INTERLEAVED trial pairs in one process: this host's tunnel has
+minutes-long throttled phases and a fast-first-GB burst profile, so
+absolute Msps from different phases are not comparable — the round-3
+artifact's 55% "regression" was exactly that (pipeline trials landed in a
+slow phase, ceiling trials in a fast one).  Interleaving puts both legs
+in the same phase; the ratio cancels the phase.
 
-Timing: two run lengths differenced to cancel startup (feeder spin-up,
-first-dispatch latency); repeated trials take the best (minimum) pair —
-the tunnel's throttled phases only ever ADD time, so the minimum is the
-clean-phase number; the per-trial spread is reported as provenance.
+Timing per leg: two run lengths differenced to cancel startup (feeder
+spin-up, first-dispatch latency); per-trial ratios are reported
+individually plus the median, with the per-leg best-of-trials Msps as
+secondary absolute numbers.
 """
 
 from __future__ import annotations
@@ -39,23 +43,10 @@ def _capture_path() -> str:
     return os.path.join(base, f"tpusdr_hostfed_{os.getpid()}.bin")
 
 
-def measure_host_fed(n_short: int = 6, n_long: int = 18, trials: int = 3,
-                     compute: bool = True, chunks_per_step: int = 2,
-                     time_left=None):
-    """Returns a dict or None.
-
-    ``compute=False`` times the identical feeder+device_put pipeline
-    without the kernel — the transport ceiling.  Returned keys:
-
-    * ``spb``: best seconds-per-block (the headline), ``block_bytes``,
-    * ``flag``: 'differenced' when the long-short delta dominated that
-      pair, else 'upper_bound',
-    * ``trials_msps``: per-trial complex-Msamples/s — THE SHAPE MATTERS on
-      this host: the tunnel serves roughly the first GB per process at
-      ~1.5 GB/s and then sustains 30-150 MB/s, so trial 0 is the burst
-      capability and later trials the sustained floor; on hardware with
-      honest PCIe the trials agree instead.
-    """
+def _make_harness(chunks_per_step: int = 2):
+    """Shared plumbing for both legs: returns (run, block_bytes, cleanup)
+    where ``run(n_blocks, compute)`` executes one feeder-fed pipeline pass
+    and returns wall seconds."""
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +76,7 @@ def measure_host_fed(n_short: int = 6, n_long: int = 18, trials: int = 3,
             d16, phase, state, rh, w_hi, w_lo, v, spec)
         return s2, r2, acc + jnp.sum(audio)
 
-    def run(n_blocks: int) -> float:
+    def run(n_blocks: int, compute: bool) -> float:
         feeder = BlockFeeder(FileSource(path, loop=True),
                              block_bytes=block_bytes,
                              queue_blocks=16).start()
@@ -116,30 +107,113 @@ def measure_host_fed(n_short: int = 6, n_long: int = 18, trials: int = 3,
         finally:
             feeder.stop()
 
-    try:
-        run(2)  # warm: compile + feeder spin-up
-        pairs = []
-        for _ in range(trials):
-            if time_left is not None and time_left() <= 0:
-                break
-            pairs.append((run(n_short), run(n_long)))
-        if not pairs:
-            return None
-        trials_msps = []
-        for t_s, t_l in pairs:
-            d = (t_l - t_s) / (n_long - n_short)
-            per = d if (d > 0 and (t_l - t_s) >= t_s) else t_l / n_long
-            trials_msps.append(round(block_bytes / 2 / per / 1e6, 1))
-        best_s = min(p[0] for p in pairs)
-        best_l = min(p[1] for p in pairs)
-        d = (best_l - best_s) / (n_long - n_short)
-        if d > 0 and (best_l - best_s) >= best_s:
-            return {"spb": d, "block_bytes": block_bytes,
-                    "flag": "differenced", "trials_msps": trials_msps}
-        return {"spb": best_l / n_long, "block_bytes": block_bytes,
-                "flag": "upper_bound", "trials_msps": trials_msps}
-    finally:
+    def cleanup():
         try:
             os.unlink(path)
         except OSError:
             pass
+
+    return run, block_bytes, cleanup
+
+
+def _spb(t_s: float, t_l: float, n_s: int, n_l: int) -> tuple[float, str]:
+    """Seconds per block from a (short, long) pair: differenced when the
+    delta dominates, else the conservative upper bound."""
+    d = (t_l - t_s) / (n_l - n_s)
+    if d > 0 and (t_l - t_s) >= t_s:
+        return d, "differenced"
+    return t_l / n_l, "upper_bound"
+
+
+def measure_host_fed_ratio(trial_pairs: int = 4, n_short: int = 6,
+                           n_long: int = 18, chunks_per_step: int = 2,
+                           time_left=None):
+    """INTERLEAVED pipeline-vs-ceiling measurement; returns a dict or None.
+
+    Each trial runs {pipeline short, pipeline long, ceiling short,
+    ceiling long} back to back so both legs sit in the same tunnel phase;
+    the per-trial ratio ceiling_spb / pipeline_spb is phase-immune.  Keys:
+
+    * ``ratio``: median per-trial pipeline/ceiling throughput ratio (the
+      headline — 1.0 means the compute is fully hidden behind the wire),
+    * ``ratio_trials``: every per-trial ratio (spread = provenance),
+    * ``host_fed_msps`` / ``h2d_ceiling_msps``: best-of-trials absolute
+      complex Msamples/s per leg (tunnel-phase dependent on this host),
+    * ``pipe_trials_msps`` / ``ceil_trials_msps``, ``block_bytes``,
+      ``flags``: per-leg timing flags.
+    """
+    run, block_bytes, cleanup = _make_harness(chunks_per_step)
+    try:
+        # Warm both legs: compile + feeder spin-up, then a LONG pipeline
+        # pass to burn through the tunnel's fast-first-GB burst so trial 0
+        # sees the same sustained phase the rest do.
+        run(2, False)
+        run(n_long, True)
+        ratios, pipe_spbs, ceil_spbs = [], [], []
+        pipe_flags, ceil_flags = [], []
+        for i in range(trial_pairs):
+            if time_left is not None and time_left() <= 0:
+                break
+            # alternate leg order between trials so slow phase drift
+            # within a trial biases the ratio both ways and medians out
+            if i % 2 == 0:
+                tp_s = run(n_short, True)
+                tp_l = run(n_long, True)
+                tc_s = run(n_short, False)
+                tc_l = run(n_long, False)
+            else:
+                tc_s = run(n_short, False)
+                tc_l = run(n_long, False)
+                tp_s = run(n_short, True)
+                tp_l = run(n_long, True)
+            sp, fp = _spb(tp_s, tp_l, n_short, n_long)
+            sc, fc = _spb(tc_s, tc_l, n_short, n_long)
+            pipe_spbs.append(sp)
+            ceil_spbs.append(sc)
+            pipe_flags.append(fp)
+            ceil_flags.append(fc)
+            ratios.append(sc / sp)  # throughput ratio = spb inverse ratio
+        if not ratios:
+            return None
+        msps = lambda s: round(block_bytes / 2 / s / 1e6, 1)  # noqa: E731
+        return {
+            "ratio": round(float(np.median(ratios)), 3),
+            "ratio_trials": [round(r, 3) for r in ratios],
+            "host_fed_msps": msps(min(pipe_spbs)),
+            "h2d_ceiling_msps": msps(min(ceil_spbs)),
+            "pipe_trials_msps": [msps(s) for s in pipe_spbs],
+            "ceil_trials_msps": [msps(s) for s in ceil_spbs],
+            "block_bytes": block_bytes,
+            "flags": {"pipeline": pipe_flags, "ceiling": ceil_flags},
+        }
+    finally:
+        cleanup()
+
+
+def measure_host_fed(n_short: int = 6, n_long: int = 18, trials: int = 3,
+                     compute: bool = True, chunks_per_step: int = 2,
+                     time_left=None):
+    """Single-leg measurement (kept for ad-hoc use; prefer
+    :func:`measure_host_fed_ratio` — absolute single-leg Msps on this
+    host's tunnel reflect the phase as much as the pipeline)."""
+    run, block_bytes, cleanup = _make_harness(chunks_per_step)
+    try:
+        run(2, compute)  # warm: compile + feeder spin-up
+        pairs = []
+        for _ in range(trials):
+            if time_left is not None and time_left() <= 0:
+                break
+            pairs.append((run(n_short, compute), run(n_long, compute)))
+        if not pairs:
+            return None
+        trials_msps = [
+            round(block_bytes / 2 / _spb(t_s, t_l, n_short, n_long)[0] / 1e6,
+                  1)
+            for t_s, t_l in pairs]
+        best_s = min(p[0] for p in pairs)
+        best_l = min(p[1] for p in pairs)
+        spb, flag = _spb(best_s, best_l, n_short, n_long)
+        return {"spb": spb, "block_bytes": block_bytes, "flag": flag,
+                "trials_msps": trials_msps}
+    finally:
+        cleanup()

@@ -63,26 +63,36 @@ def _decode_rotate_tail(d16_tail: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
                              interpret: bool | None = None,
-                             halo_impl: str = "auto") -> ShardedWbfm:
+                             halo_impl: str = "auto",
+                             chunks_per_step: int | None = None) -> ShardedWbfm:
     """Build the jitted Pallas-front-end sharded chain for ('dp','sp').
 
     ``interpret``: run the fused kernel under the Pallas interpreter;
     defaults to whether the mesh's devices are NOT TPUs (the default
     backend is irrelevant — the mesh decides where the kernel runs).
     ``halo_impl``: 'auto' (remote DMA on TPU meshes, ppermute otherwise),
-    'dma', or 'ppermute'.
+    'dma', 'ppermute', or 'none' — 'none' skips the carry exchange
+    entirely and seeds every shard from the global edge; it is CORRECT
+    ONLY on a 1-shard sp axis (where the left halo IS the edge) and
+    exists so the halo-overhead benchmark can difference {dma, none} on
+    one chip (benchmarks/bench_halo_overhead.py).
     """
     config = config or WbfmConfig(filter_mode="fir")
     assert config.filter_mode == "fir", "pallas front-end is FIR-mode only"
     params = make_params(config)
-    spec = pallas_fm.default_spec(config)
+    spec = (pallas_fm.default_spec(config) if chunks_per_step is None
+            else pallas_fm.default_spec(config,
+                                        chunks_per_step=chunks_per_step))
     w_hi, w_lo, _v = pallas_fm.make_kernel_params(config)
     L = spec.num_taps
     Lm1 = L - 1
     on_tpu = mesh.devices.flat[0].platform == "tpu"
     if interpret is None:
         interpret = not on_tpu
-    assert halo_impl in ("auto", "dma", "ppermute"), halo_impl
+    assert halo_impl in ("auto", "dma", "ppermute", "none"), halo_impl
+    if halo_impl == "none":
+        assert mesh.shape["sp"] == 1, (
+            "halo_impl='none' (measurement only) is valid only on sp=1")
     use_dma = (on_tpu and not interpret) if halo_impl == "auto" else (
         halo_impl == "dma")
 
@@ -113,7 +123,9 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
         # Global left edge: zero history, discriminator prev = 1 + 0j.
         edge = jnp.zeros((st, ROWS, 128), jnp.float32).at[:, 2, 127].set(1.0)
         flat = end_state.reshape(-1)
-        if use_dma:
+        if halo_impl == "none":
+            recv = edge.reshape(-1) + 0.0 * flat[:1]  # keep carry traced
+        elif use_dma:
             # Explicit halo_impl="dma" launches the kernel even on a 1-shard
             # sp axis (single-chip proof that the Mosaic remote-copy program
             # compiles/executes); "auto" keeps the vacuous-exchange shortcut.
