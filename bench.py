@@ -243,11 +243,12 @@ def main() -> None:
         try:
             from benchmarks.hostfed import measure_host_fed_ratio
 
-            r = measure_host_fed_ratio(trial_pairs=4, time_left=_left)
+            r = measure_host_fed_ratio(time_left=_left)
             if r:
                 # the RATIO is the defensible system metric on this
                 # host's phase-y tunnel; absolute Msps are secondary
                 extras["host_fed_ratio"] = r["ratio"]
+                extras["host_fed_ratio_best"] = r["ratio_best"]
                 extras["host_fed_msps"] = r["host_fed_msps"]
                 extras["h2d_ceiling_msps"] = r["h2d_ceiling_msps"]
                 timing["host_fed_ratio_trials"] = r["ratio_trials"]

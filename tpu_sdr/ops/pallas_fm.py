@@ -158,14 +158,28 @@ def unpack_state(s: jax.Array, rot_phase, resamp_state, spec: PallasWbfmSpec):
 
 
 def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
-            unpack_impl: str, phase_ref, data_ref, w_hi_ref, w_lo_ref,
-            corr_ref, state_in_ref, z_ref, state_out_ref, carry):
+            unpack_impl: str, prev_impl: str, phase_ref, data_ref, w_hi_ref,
+            w_lo_ref, corr_ref, state_in_ref, z_ref, state_out_ref, carry):
     """Grid (stations, chunks): chunks iterate innermost (sequentially on
     TPU), so the VMEM carry streams within a station and re-seeds from
-    ``state_in`` when a new station's chunk 0 arrives."""
+    ``state_in`` when a new station's chunk 0 arrives.
+
+    ``prev_impl='matmul'`` computes the discriminator's one-sample-delayed
+    operand ``b`` as a second banded matmul (weights ``[W_y | W_prev]``
+    stacked to 256 columns, same two MXU dots) instead of the VPU
+    roll/concat/select shuffle of ``'shift'`` — trading ~6 full-width VPU
+    ops for a wider (cheap) MXU pass.  Frames carry ``L-1+d`` history
+    columns so the delayed window of the chunk's first sample is complete;
+    the extra ``d`` history lanes ride the spare carry lanes
+    ``[L-1, L-1+d)`` (external (4,128) state contract unchanged — packers
+    that leave them zero only affect the seeded element (0,0), which the
+    ``i==0`` patch recomputes from carry rows 2/3 like 'shift' mode).
+    """
     d = spec.decim
     L = spec.num_taps
     Lm1 = L - 1
+    prev_mm = prev_impl == "matmul"
+    H = Lm1 + d if prev_mm else Lm1   # frame history columns
     rows = spec.rows              # 85
     width = spec.row_width        # 768
     b = pl.program_id(0)
@@ -226,109 +240,200 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
                                   jnp.where(kmod == 2, -im, -re)))
 
     # ---- banded MXU FIR decimation (split bf16) ----
-    # frame r covers x[r*width - (L-1) : r*width + 128*d + L - d - (L-1)]
-    # = [last L-1 of row r-1 | row r[: 128*d - d + ... ]]; samples (x255
-    # scale or raw rotated bytes) are exact <=9-bit integers, so the bf16
-    # cast of the data is lossless.
-    row_len = 128 * d + L - d  # 834
+    # frame r covers x[r*width - H : r*width + 128*d - d], i.e. [last H of
+    # row r-1 | row r[: 128*d - d + 1]]; samples (x255 scale or raw
+    # rotated bytes) are exact <=9-bit integers, so the bf16 cast of the
+    # data is lossless.  H = L-1 ('shift') or L-1+d ('matmul': the
+    # delayed window of the chunk's first sample needs d more history).
+    row_len = 128 * d - d + 1 + H  # 834 shift / 840 matmul
+
+    def hist_asc(c_row):
+        # Carry lanes [0, L-1) hold samples -(L-1)..-1 (the external
+        # contract); 'matmul' parks the deep d samples -(H)..-L in spare
+        # lanes [L-1, H).  Reassemble ascending-time order for the frame.
+        if not prev_mm:
+            return c_row[0:1, :Lm1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        asc = jnp.where(lane < d, pltpu.roll(c_row, 128 - Lm1, 1),
+                        pltpu.roll(c_row, d, 1))
+        return asc[0:1, :H]
+
+    def fir_store_row(asc128):
+        # Inverse of hist_asc: ascending (1, 128) tail row (lanes >= H
+        # don't-care) -> contract layout (lanes >= H again don't-care).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        return jnp.where(lane < Lm1, pltpu.roll(asc128, 128 - d, 1),
+                         pltpu.roll(asc128, Lm1, 1))
 
     def frames_of(x, hist_row, tail):
         # left column block = [history | tails of rows 0..r-2], all at lane
         # offset 0 — Mosaic cannot concatenate operands whose lane offsets
         # differ, so tails are pre-rolled to offset 0 by the caller.
         left = jnp.concatenate([hist_row, tail[:-1]], axis=0)
-        return jnp.concatenate([left, x[:, : row_len - Lm1]], axis=1)
+        return jnp.concatenate([left, x[:, : row_len - H]], axis=1)
 
     if dc:
         # The carry keeps FIR history in the x255 scale (external
         # semantics unchanged); convert to/from the raw rotated space at
         # the seam.  History/tail lane k sits at frame column k, i.e.
-        # sample index k - (L-1): one +-1 DC pattern serves the inbound
+        # sample index k - H: one +-1 DC pattern serves the inbound
         # conversion, the outbound tail store, and the tail rotation.
         # Raw-space values are exact <=8-bit integers, so every cdtype
         # cast is lossless.
-        kt = (jax.lax.broadcasted_iota(jnp.int32, (1, Lm1), 1)
-              + (4 - Lm1 % 4) + phase_ref[b]) % 4
+        # Patterns built (1, 128) wide; lanes >= H are don't-care (they
+        # pair with don't-care tail lanes in 'matmul' mode).
+        kt = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+              + (4 - H % 4) + phase_ref[b]) % 4
         cos_t = jnp.where(kt == 0, 1.0, jnp.where(kt == 2, -1.0, 0.0))
         sin_t = jnp.where(kt == 1, 1.0, jnp.where(kt == 3, -1.0, 0.0))
         p_re = (cos_t - sin_t) * 255.0
         p_im = (cos_t + sin_t) * 255.0
-        hist_re = ((carry[0:1, :Lm1] + p_re) * 0.5).astype(cdtype)
-        hist_im = ((carry[1:2, :Lm1] + p_im) * 0.5).astype(cdtype)
+        hist_re = ((hist_asc(carry[0:1, :]) + p_re[:, :H]) * 0.5
+                   ).astype(cdtype)
+        hist_im = ((hist_asc(carry[1:2, :]) + p_im[:, :H]) * 0.5
+                   ).astype(cdtype)
         # Tails from ONE 32-bit roll of the packed source (Mosaic has no
         # 16-bit roll, and this replaces the two full-width f32 rolls):
-        # unpack + rotate only the (rows, L-1) tail slice.
-        tail_v = pltpu.roll(v, Lm1, 1)[:, :Lm1]
+        # unpack + rotate only the (rows, H) tail slice.
+        tail_vf = pltpu.roll(v, H, 1)
+        tail_v = tail_vf[:, :H]
+        cos_tc = cos_t[:, :H].astype(cdtype)
+        sin_tc = sin_t[:, :H].astype(cdtype)
         t_re = (tail_v & 0xFF).astype(cdtype)
         t_im = ((tail_v >> 8) & 0xFF).astype(cdtype)
-        cos_tc = cos_t.astype(cdtype)
-        sin_tc = sin_t.astype(cdtype)
         tail_re = t_re * cos_tc - t_im * sin_tc
         tail_im = t_im * cos_tc + t_re * sin_tc
     else:
-        hist_re = carry[0:1, :Lm1]
-        hist_im = carry[1:2, :Lm1]
-        # tail[r] = x[r, width-(L-1):], lane-rolled to offset 0
-        tail_re = pltpu.roll(rre, Lm1, 1)[:, :Lm1]
-        tail_im = pltpu.roll(rim, Lm1, 1)[:, :Lm1]
+        hist_re = hist_asc(carry[0:1, :])
+        hist_im = hist_asc(carry[1:2, :])
+        # tail[r] = x[r, width-H:], lane-rolled to offset 0
+        tail_re = pltpu.roll(rre, H, 1)[:, :H]
+        tail_im = pltpu.roll(rim, H, 1)[:, :H]
 
-    new_fir_re = tail_re[rows - 1:rows]
-    new_fir_im = tail_im[rows - 1:rows]
+    if prev_mm:
+        # (1, 128) ascending last-tail row for fir_store_row (no lane
+        # concat: a sublane-offset slice cannot feed a Mosaic concat);
+        # lanes >= H are don't-care.
+        if dc:
+            nf_v = pltpu.roll(tail_vf, 1, 0)[0:1, :128]
+            nr = (nf_v & 0xFF).astype(jnp.float32)
+            ni = ((nf_v >> 8) & 0xFF).astype(jnp.float32)
+            cf = cos_t.astype(jnp.float32)
+            sf = sin_t.astype(jnp.float32)
+            new_fir_re = (nr * cf - ni * sf) * 2.0 - p_re
+            new_fir_im = (ni * cf + nr * sf) * 2.0 - p_im
+        else:
+            new_fir_re = pltpu.roll(pltpu.roll(rre, H, 1), 1, 0)[0:1, :128]
+            new_fir_im = pltpu.roll(pltpu.roll(rim, H, 1), 1, 0)[0:1, :128]
+    else:
+        new_fir_re = tail_re[rows - 1:rows]
+        new_fir_im = tail_im[rows - 1:rows]
     fr = frames_of(rre, hist_re, tail_re)
     fi = frames_of(rim, hist_im, tail_im)
     frames = jnp.concatenate([fr, fi], axis=0)
     if frames.dtype != jnp.bfloat16:
         frames = frames.astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
-    y = (
-        jax.lax.dot_general(frames, w_hi_ref[:], dn,
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(frames, w_lo_ref[:], dn,
-                              preferred_element_type=jnp.float32)
-    )  # (2*rows, 128); y[r*128+c] is decimated sample m = r*128+c
+
+    def banded_dot(whi, wlo):
+        return (
+            jax.lax.dot_general(frames, whi, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(frames, wlo, dn,
+                                  preferred_element_type=jnp.float32)
+        )  # (2*rows, 128); element [r*128+c] is decimated sample r*128+c
+
+    if prev_mm:
+        y = banded_dot(w_hi_ref[0], w_lo_ref[0])
+        bm = banded_dot(w_hi_ref[1], w_lo_ref[1])
+        b_re, b_im = bm[:rows], bm[rows:]
+    else:
+        y = banded_dot(w_hi_ref[:], w_lo_ref[:])
     y_re = y[:rows]
     y_im = y[rows:]
     if dc:
         # y_true = 2*y_raw - corr[phase]; corr rows 0-3 are the re
-        # correction per phase, 4-7 the im correction.
+        # correction per phase, 4-7 the im correction (8-15: the W_prev
+        # half's corrections in 'matmul' mode).
         p = phase_ref[b]
-        corr_re = corr_ref[0:1]
-        corr_im = corr_ref[4:5]
-        for k in range(1, 4):
-            corr_re = jnp.where(p == k, corr_ref[k:k + 1], corr_re)
-            corr_im = jnp.where(p == k, corr_ref[4 + k:5 + k], corr_im)
+
+        def corr_sel(base):
+            cr = corr_ref[base:base + 1]
+            ci = corr_ref[base + 4:base + 5]
+            for k in range(1, 4):
+                cr = jnp.where(p == k, corr_ref[base + k:base + k + 1], cr)
+                ci = jnp.where(p == k,
+                               corr_ref[base + 4 + k:base + 5 + k], ci)
+            return cr, ci
+
+        corr_re, corr_im = corr_sel(0)
         y_re = 2.0 * y_re - corr_re
         y_im = 2.0 * y_im - corr_im
-        new_fir_re = 2.0 * new_fir_re.astype(jnp.float32) - p_re
-        new_fir_im = 2.0 * new_fir_im.astype(jnp.float32) - p_im
+        if prev_mm:
+            corr_bre, corr_bim = corr_sel(8)
+            b_re = 2.0 * b_re - corr_bre
+            b_im = 2.0 * b_im - corr_bim
+        else:
+            # ('matmul' already produced new_fir in the x255 scale above)
+            new_fir_re = (2.0 * new_fir_re.astype(jnp.float32)
+                          - p_re[:, :H])
+            new_fir_im = (2.0 * new_fir_im.astype(jnp.float32)
+                          - p_im[:, :H])
 
     # ---- quadrature discriminator: angle(x[k] * conj(x[k-1])) / pi ----
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    def angle(ci, cr):
+        if atan_mode == "fast":
+            return F.fast_atan2_f32(ci, cr)
+        if atan_mode == "poly6":
+            return _atan2_poly(ci, cr, _ATAN6_COEFFS)
+        return _atan2_poly(ci, cr)
 
-    def shift_one(x, prev_row):
-        # prev of flat element r*128+c: x[r, c-1] for c>0, else the lane-127
-        # element of the row above (row above of row 0 = carried last row).
-        rolled = pltpu.roll(x, 1, 1)
-        ycat = jnp.concatenate([prev_row, x], axis=0)        # (rows+1, 128)
-        col_prev = pltpu.roll(ycat, 1, 1)[:rows, 0:1]        # = ycat[r,127]
-        return jnp.where(col == 0, col_prev, rolled)
+    if not prev_mm:
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
 
-    b_re = shift_one(y_re, carry[2:3, :])
-    b_im = shift_one(y_im, carry[3:4, :])
+        def shift_one(x, prev_row):
+            # prev of flat element r*128+c: x[r, c-1] for c>0, else the
+            # lane-127 element of the row above (row above of row 0 = the
+            # carried last row).
+            rolled = pltpu.roll(x, 1, 1)
+            ycat = jnp.concatenate([prev_row, x], axis=0)    # (rows+1, 128)
+            col_prev = pltpu.roll(ycat, 1, 1)[:rows, 0:1]    # = ycat[r,127]
+            return jnp.where(col == 0, col_prev, rolled)
+
+        b_re = shift_one(y_re, carry[2:3, :])
+        b_im = shift_one(y_im, carry[3:4, :])
     c_re = y_re * b_re + y_im * b_im
     c_im = y_im * b_re - y_re * b_im
-    if atan_mode == "fast":
-        ang = F.fast_atan2_f32(c_im, c_re)
-    elif atan_mode == "poly6":
-        ang = _atan2_poly(c_im, c_re, _ATAN6_COEFFS)
-    else:
-        ang = _atan2_poly(c_im, c_re)
+    ang = angle(c_im, c_re)
     z_ref[:] = (ang * jnp.float32(1.0 / np.pi)).reshape(1, 1, rows, 128)
+
+    if prev_mm:
+        # The matmul b of the launch's FIRST element came from the deep
+        # history lanes, which external packers may leave unknown (zero);
+        # recompute it against the carried previous sample (rows 2/3 lane
+        # 127 — the same source 'shift' mode uses) and patch one lane.
+        @pl.when(i == 0)
+        def _():
+            b0_re = carry[2:3, 127:128]
+            b0_im = carry[3:4, 127:128]
+            y0_re = y_re[0:1, 0:1]
+            y0_im = y_im[0:1, 0:1]
+            c0_re = y0_re * b0_re + y0_im * b0_im
+            c0_im = y0_im * b0_re - y0_re * b0_im
+            a0 = angle(c0_im, c0_re) * jnp.float32(1.0 / np.pi)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            z_ref[0, 0, 0:1, :] = jnp.where(
+                lane == 0, jnp.broadcast_to(a0, (1, 128)),
+                z_ref[0, 0, 0:1, :])
 
     # ---- update carries (2-D vector stores; Mosaic rejects scalar stores
     # to VMEM) ----
-    carry[0:1, :Lm1] = new_fir_re
-    carry[1:2, :Lm1] = new_fir_im
+    if prev_mm:
+        carry[0:1, :] = fir_store_row(new_fir_re)
+        carry[1:2, :] = fir_store_row(new_fir_im)
+    else:
+        carry[0:1, :Lm1] = new_fir_re
+        carry[1:2, :Lm1] = new_fir_im
     carry[2:3, :] = y_re[rows - 1:rows, :]
     carry[3:4, :] = y_im[rows - 1:rows, :]
 
@@ -355,8 +460,14 @@ def default_spec(config=None, chunks_per_step: int = 1) -> PallasWbfmSpec:
     return spec
 
 
-def make_kernel_params(config=None):
-    """(W_hi, W_lo, V) device arrays for the fused chain."""
+def make_kernel_params(config=None, prev_impl: str = "shift"):
+    """(W_hi, W_lo, V) device arrays for the fused chain.
+
+    ``prev_impl='matmul'``: the weight pair is the stacked ``[W_y |
+    W_prev]`` (row_len+decim, 256) banded matrix — column block 0 is the
+    decimator shifted down ``decim`` rows (frames carry ``decim`` extra
+    history columns), block 1 the same band one decimated sample earlier,
+    so ONE dot emits both the FIR output and its one-sample delay."""
     from tpu_sdr.models import wbfm as M
     from tpu_sdr.utils import firdes
 
@@ -366,6 +477,13 @@ def make_kernel_params(config=None):
         config.decim, taps_per_phase=config.fir_taps_per_phase,
         cutoff_frac=config.fir_cutoff_frac)
     W = F.make_banded_decim_matrix(taps, config.decim)
+    if prev_impl == "matmul":
+        d = config.decim
+        row_len = W.shape[0] + d
+        Wd = np.zeros((2, row_len, W.shape[1]), W.dtype)
+        Wd[0, d:, :] = W                 # y: window ends at c*d
+        Wd[1, : W.shape[0], :] = W       # b: one decimated sample earlier
+        W = Wd
     W_hi, W_lo = F.make_split_bf16(W)  # folds the x255 sample scale
     h = firdes.resampler_taps(
         config.resample_up, config.resample_down,
@@ -382,17 +500,21 @@ def _interpret_default() -> bool:
 
 
 def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
-             spec: PallasWbfmSpec) -> jax.Array:
-    """(8, 128) decimator response to the rotated -255 DC pattern, per
-    fs/4 phase (rows 0-3: re frames, 4-7: im frames) — the correction the
-    ``dcfold`` unpack subtracts after the matmul.  Computed in-graph from
-    the traced split weights (one tiny constant matmul, fused by XLA)."""
-    Lm1 = spec.num_taps - 1
-    row_len = 128 * spec.decim + spec.num_taps - spec.decim
+             spec: PallasWbfmSpec, prev_impl: str = "shift") -> jax.Array:
+    """(8, 128) — or (16, 128) for ``prev_impl='matmul'`` (rows 8-15: the
+    W_prev half's correction) — decimator response to the rotated -255 DC
+    pattern, per fs/4 phase (rows 0-3: re frames, 4-7: im frames) — the
+    correction the ``dcfold`` unpack subtracts after the matmul.  Computed
+    in-graph from the traced split weights (one tiny constant matmul,
+    fused by XLA)."""
+    prev_mm = prev_impl == "matmul"
+    H = spec.num_taps - 1 + (spec.decim if prev_mm else 0)
+    row_len = 128 * spec.decim - spec.decim + 1 + H
+    assert w_hi.shape[-2] == row_len, (w_hi.shape, row_len)
     j = np.arange(row_len)
     rows_re, rows_im = [], []
     for phase in range(4):
-        kmod = (j - Lm1 + phase) % 4  # frame col j holds sample j - (L-1)
+        kmod = (j - H + phase) % 4  # frame col j holds sample j - H
         cos = np.where(kmod == 0, 1.0, np.where(kmod == 2, -1.0, 0.0))
         sin = np.where(kmod == 1, 1.0, np.where(kmod == 3, -1.0, 0.0))
         rows_re.append(cos - sin)
@@ -402,11 +524,17 @@ def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
     # HIGHEST: on TPU a default-precision f32 matmul runs as bf16 MXU
     # passes; the quantized correction then poisons the 2*y_raw - corr
     # cancellation (measured 41 dB vs >=100 dB, round 3 hardware tier).
-    return jnp.matmul(P, W, precision=jax.lax.Precision.HIGHEST)
+    hp = jax.lax.Precision.HIGHEST
+    if prev_mm:
+        return jnp.concatenate(
+            [jnp.matmul(P, W[0], precision=hp),
+             jnp.matmul(P, W[1], precision=hp)], axis=0)
+    return jnp.matmul(P, W, precision=hp)
 
 
 def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
-                  interpret, rot_impl="broadcast", unpack_impl="dcfold"):
+                  interpret, rot_impl="broadcast", unpack_impl="dcfold",
+                  prev_impl="shift"):
     """The Pallas front-end: (stations, nchunks, rows, width) int16 ->
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
@@ -417,22 +545,32 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
         # selecting rot_impl="select" alone get the equivalent 'scale'
         # unpack instead of a kernel assert mid-trace.
         unpack_impl = "scale"
-    if unpack_impl in ("dcfold", "dcfold_bf16"):
-        corr = _dc_corr(w_hi, w_lo, spec)
+    if prev_impl == "matmul":
+        assert w_hi.ndim == 3 and w_hi.shape[0] == 2, (
+            "prev_impl='matmul' needs the stacked [W_y, W_prev] weights "
+            "(make_kernel_params(prev_impl='matmul'))")
+        w_spec = pl.BlockSpec((2, w_hi.shape[1], 128), lambda b, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        corr_rows = 16
     else:
-        corr = jnp.zeros((8, 128), jnp.float32)
+        assert w_hi.ndim == 2, (w_hi.shape, prev_impl)
+        w_spec = pl.BlockSpec((w_hi.shape[0], 128), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        corr_rows = 8
+    if unpack_impl in ("dcfold", "dcfold_bf16"):
+        corr = _dc_corr(w_hi, w_lo, spec, prev_impl)
+    else:
+        corr = jnp.zeros((corr_rows, 128), jnp.float32)
     return pl.pallas_call(
-        partial(_kernel, spec, atan_mode, rot_impl, unpack_impl),
+        partial(_kernel, spec, atan_mode, rot_impl, unpack_impl, prev_impl),
         grid=(stations, nchunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # per-station phases
             pl.BlockSpec((1, 1, rows, width), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_hi.shape[0], 128), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_lo.shape[0], 128), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda b, i: (0, 0),
+            w_spec,
+            w_spec,
+            pl.BlockSpec((corr_rows, 128), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, STATE_ROWS, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -454,13 +592,13 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
 
 @partial(jax.jit,
          static_argnames=("spec", "atan_mode", "interpret", "rot_impl",
-                          "unpack_impl"))
+                          "unpack_impl", "prev_impl"))
 def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      state: jax.Array, resamp_hist: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                      spec: PallasWbfmSpec, atan_mode: str = "poly6",
                      interpret: bool = False, rot_impl: str = "broadcast",
-                     unpack_impl: str = "dcfold"):
+                     unpack_impl: str = "dcfold", prev_impl: str = "shift"):
     """Fused kernel + XLA resampler over a whole block (one station).
 
     Defaults (round-3 on-chip A/B, benchmarks/ab_kernel): ``poly6`` atan
@@ -475,7 +613,7 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
     """
     z, new_states = _front_pallas(
         data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
-        interpret, rot_impl, unpack_impl)
+        interpret, rot_impl, unpack_impl, prev_impl)
     audio, rs = F.aligned_resample(
         z.reshape(-1), v, spec.up, spec.down,
         F.AlignedResampleState(resamp_hist))
@@ -541,14 +679,16 @@ class PallasWbfmStreamer:
 
     def __init__(self, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None,
-                 unpack_impl: str = "dcfold"):
+                 unpack_impl: str = "dcfold", prev_impl: str = "shift"):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")
         self.spec = default_spec(self.config)
-        self.w_hi, self.w_lo, self.v = make_kernel_params(self.config)
+        self.w_hi, self.w_lo, self.v = make_kernel_params(
+            self.config, prev_impl=prev_impl)
         self.atan_mode = atan_mode
         self.unpack_impl = unpack_impl
+        self.prev_impl = prev_impl
         self.interpret = _interpret_default() if interpret is None else interpret
         self.state = jnp.zeros((STATE_ROWS, 128), jnp.float32)
         self.state = self.state.at[2, 127].set(1.0)  # quad prev = 1+0j
@@ -567,7 +707,7 @@ class PallasWbfmStreamer:
             jnp.asarray(d16), jnp.asarray([self.phase], jnp.int32), self.state,
             self.resamp_hist, self.w_hi, self.w_lo, self.v, self.spec,
             atan_mode=self.atan_mode, interpret=self.interpret,
-            unpack_impl=self.unpack_impl)
+            unpack_impl=self.unpack_impl, prev_impl=self.prev_impl)
         self.phase = (self.phase + usable // 2) % 4
         return np.asarray(audio)
 
