@@ -90,7 +90,15 @@ def main() -> None:
 
     mode = sys.argv[3] if len(sys.argv) > 3 else "rot_atan"
     variants = []
-    if mode == "prev":
+    if mode == "rcp":
+        # atan range-reduction: exact divide vs approx-reciprocal+Newton,
+        # at the production defaults (broadcast + dcfold)
+        for g in gs:
+            variants.append((f"g{g}_poly6_div", g, "poly6", "broadcast",
+                             "dcfold"))
+            variants.append((f"g{g}_poly6_rcp", g, "poly6_rcp", "broadcast",
+                             "dcfold"))
+    elif mode == "prev":
         # discriminator-prev: VPU shuffle vs stacked-weights matmul, at
         # the production defaults (poly6 + broadcast + dcfold)
         for g in gs:

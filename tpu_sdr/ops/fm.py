@@ -350,7 +350,11 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
     y = jax.lax.dot_general(
         frames, V, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST,  # tiny matmul; true f32 audio
+        # HIGH = 3 bf16 passes ≈ f32 (~2^-21 relative, ≥120 dB audio).
+        # HIGHEST (6 passes) measured 6.6% of the WHOLE fused path on
+        # TPU (0.227 -> 0.212 ms/block, round-4 interleaved A/B) for
+        # accuracy nothing downstream can observe.
+        precision=lax.Precision.HIGH,
     )  # (R, up)
     new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
     return y.reshape(R * up), new_state

@@ -104,13 +104,25 @@ _ATAN6_COEFFS = (
 
 
 def _atan2_poly(y: jax.Array, x: jax.Array,
-                coeffs: tuple = _ATAN_COEFFS) -> jax.Array:
-    """Full-quadrant atan2 from the reduced polynomial (f32-accurate)."""
+                coeffs: tuple = _ATAN_COEFFS,
+                rcp: bool = False) -> jax.Array:
+    """Full-quadrant atan2 from the reduced polynomial (f32-accurate).
+
+    ``rcp``: replace the range-reduction divide with the VPU's approx
+    reciprocal plus one Newton step (~2^-24 relative — above the poly's
+    own 1e-5 error floor) — a candidate for fewer VPU passes than the
+    exact divide."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
-    t = lo / jnp.where(hi == 0, 1.0, hi)
+    den = jnp.where(hi == 0, 1.0, hi)
+    if rcp:
+        r0 = pl.reciprocal(den, approx=True)
+        r = r0 * (2.0 - den * r0)  # one Newton-Raphson refinement
+        t = lo * r
+    else:
+        t = lo / den
     s = t * t
     p = jnp.float32(coeffs[-1])
     for c in coeffs[-2::-1]:
@@ -386,6 +398,8 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
             return F.fast_atan2_f32(ci, cr)
         if atan_mode == "poly6":
             return _atan2_poly(ci, cr, _ATAN6_COEFFS)
+        if atan_mode == "poly6_rcp":
+            return _atan2_poly(ci, cr, _ATAN6_COEFFS, rcp=True)
         return _atan2_poly(ci, cr)
 
     if not prev_mm:
@@ -592,13 +606,14 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
 
 @partial(jax.jit,
          static_argnames=("spec", "atan_mode", "interpret", "rot_impl",
-                          "unpack_impl", "prev_impl"))
+                          "unpack_impl", "prev_impl", "resamp_impl"))
 def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
                      state: jax.Array, resamp_hist: jax.Array,
                      w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                      spec: PallasWbfmSpec, atan_mode: str = "poly6",
                      interpret: bool = False, rot_impl: str = "broadcast",
-                     unpack_impl: str = "dcfold", prev_impl: str = "shift"):
+                     unpack_impl: str = "dcfold", prev_impl: str = "shift",
+                     resamp_impl: str = "xla"):
     """Fused kernel + XLA resampler over a whole block (one station).
 
     Defaults (round-3 on-chip A/B, benchmarks/ab_kernel): ``poly6`` atan
@@ -614,6 +629,10 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
     z, new_states = _front_pallas(
         data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
         interpret, rot_impl, unpack_impl, prev_impl)
+    if resamp_impl == "pallas":
+        audio, new_hist = pallas_resample(
+            z.reshape(-1), v, spec.up, spec.down, resamp_hist, interpret)
+        return audio, new_states[0], new_hist
     audio, rs = F.aligned_resample(
         z.reshape(-1), v, spec.up, spec.down,
         F.AlignedResampleState(resamp_hist))
@@ -650,6 +669,72 @@ def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
 
     audio, hists = jax.vmap(resample_one)(z, resamp_hists)
     return audio.reshape(stations, -1), new_states, hists
+
+
+def _resample_kernel(vh_ref, vl_ref, left_ref, base_ref, out_ref):
+    """One grid step: (RB, T-1) left halos + (RB, down) frame bodies ->
+    (RB, up) audio.  Frames are built by a VMEM lane-concat (both inputs
+    at lane offset 0); the matmul runs a manual 3-pass split-bf16
+    (fh@vh + fh@vl + fl@vh, ~2^-18 relative ≈ 108 dB — Mosaic's only
+    alternatives are DEFAULT's single pass at ~48 dB or HIGHEST's six),
+    with no HBM frame materialization."""
+    frames = jnp.concatenate([left_ref[:], base_ref[:]], axis=1)
+    fh = frames.astype(jnp.bfloat16)
+    fl = (frames - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    out_ref[:] = (
+        jax.lax.dot_general(fh, vh_ref[:], dn,
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(fh, vl_ref[:], dn,
+                              preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(fl, vh_ref[:], dn,
+                              preferred_element_type=jnp.float32))
+
+
+def pallas_resample(x: jax.Array, v: jax.Array, up: int, down: int,
+                    hist: jax.Array, interpret: bool = False,
+                    rows_per_step: int = 1024):
+    """Pallas polyphase resampler: drop-in for ``F.aligned_resample`` on
+    the fused path.  ``x`` flat f32 (multiple of ``down``); returns
+    (audio (len(x)//down*up,), new_hist).
+
+    The XLA frame matmul costs ~38% of the whole fused path (round-4
+    measurement: 0.232 vs 0.142 ms/block kernel-only): HIGHEST-precision
+    (6-pass) MXU plus an HBM-materialized (R, down+T-1) frame tensor.
+    Here frames are assembled in VMEM per grid step and the matmul runs
+    3-pass f32 (HIGH, ~f32-accurate); HBM traffic drops to the two row
+    views + audio."""
+    Tm1 = v.shape[0] - down
+    n = x.shape[0]
+    assert n % down == 0, f"block of {n} not divisible by down={down}"
+    R = n // down
+    rb = rows_per_step
+    while R % rb:
+        rb //= 2
+    xe = jnp.concatenate([hist, x])  # (n + T - 1)
+    base = xe[Tm1:].reshape(R, down)
+    left = xe[: R * down].reshape(R, down)[:, :Tm1]
+    v_hi = v.astype(jnp.bfloat16)
+    v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w_spec = pl.BlockSpec((v.shape[0], v.shape[1]), lambda s: (0, 0),
+                          memory_space=pltpu.VMEM)
+    audio = pl.pallas_call(
+        _resample_kernel,
+        grid=(R // rb,),
+        in_specs=[
+            w_spec,
+            w_spec,
+            pl.BlockSpec((rb, Tm1), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, down), lambda s: (s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, up), lambda s: (s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, up), jnp.float32),
+        interpret=interpret,
+    )(v_hi, v_lo, left, base)
+    return audio.reshape(R * up), xe[xe.shape[0] - Tm1:]
 
 
 def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
