@@ -285,17 +285,25 @@ def delay(x: jax.Array, state: DelayState):
 # the polyphase FIR interpolator and the reference's boxcar resampler
 # (simple_fm.rs:408-426): only the window matrix V differs.
 
-def make_aligned_poly_matrix(h_poly: np.ndarray, up: int, down: int) -> np.ndarray:
+def make_aligned_poly_matrix(h_poly: np.ndarray, up: int, down: int,
+                             frames_per_row: int = 1) -> np.ndarray:
     """V for the polyphase resampler: V[(T-1) + o_s - t, s] = h_poly[p_s, t]
-    with o_s = (s*down)//up, p_s = (s*down) % up."""
+    with o_s = (s*down)//up, p_s = (s*down) % up.
+
+    ``frames_per_row`` packs that many consecutive frames into each
+    matmul row (shape (down*F + T - 1, up*F), column u + up*k = column u
+    shifted by down*k): with up=32, F=4 fills all 128 MXU lanes instead
+    of 32 — fewer, denser passes for the identical result."""
     hp = np.asarray(h_poly, dtype=np.float32)
     T = hp.shape[1]
-    V = np.zeros((down + T - 1, up), dtype=np.float32)
-    for s in range(up):
-        o = (s * down) // up
-        p = (s * down) % up
-        for t in range(T):
-            V[(T - 1) + o - t, s] = hp[p, t]
+    F_ = frames_per_row
+    V = np.zeros((down * F_ + T - 1, up * F_), dtype=np.float32)
+    for k in range(F_):
+        for s in range(up):
+            o = (s * down) // up
+            p = (s * down) % up
+            for t in range(T):
+                V[(T - 1) + k * down + o - t, k * up + s] = hp[p, t]
     return V
 
 
@@ -331,21 +339,24 @@ def aligned_resample_init(T: int) -> AlignedResampleState:
 
 def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
                      state: AlignedResampleState):
-    """Frame-matmul resampler: ``x`` length must be a multiple of ``down``;
-    emits exactly ``len(x)//down * up`` samples."""
-    Tm1 = V.shape[0] - down
+    """Frame-matmul resampler: ``x`` length must be a multiple of the
+    frame span (``down`` times V's frames-per-row packing); emits exactly
+    ``len(x)//down * up`` samples."""
+    F_ = V.shape[1] // up  # frames packed per matmul row (N-lane packing)
+    span = down * F_
+    Tm1 = V.shape[0] - span
     n = x.shape[0]
-    assert n % down == 0, f"block of {n} not divisible by down={down}"
-    R = n // down
+    assert n % span == 0, f"block of {n} not divisible by span={span}"
+    R = n // span
     xe = jnp.concatenate([state.hist, x])  # (n + T - 1)
-    base = xe[Tm1:].reshape(R, down)
-    # left halo: previous T-1 samples of each frame = xe[r*down : r*down+T-1]
-    left = xe[: R * down].reshape(R, down)[:, :Tm1] if Tm1 <= down else None
-    if Tm1 <= down:
+    base = xe[Tm1:].reshape(R, span)
+    # left halo: previous T-1 samples of each frame = xe[r*span : r*span+T-1]
+    left = xe[: R * span].reshape(R, span)[:, :Tm1] if Tm1 <= span else None
+    if Tm1 <= span:
         frames = jnp.concatenate([left, base], axis=1)
     else:  # very long windows: fall back to explicit slicing
-        idx = jnp.arange(down + Tm1)
-        starts = jnp.arange(R) * down
+        idx = jnp.arange(span + Tm1)
+        starts = jnp.arange(R) * span
         frames = xe[starts[:, None] + idx[None, :]]
     y = jax.lax.dot_general(
         frames, V, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -357,7 +368,7 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
         precision=lax.Precision.HIGH,
     )  # (R, up)
     new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
-    return y.reshape(R * up), new_state
+    return y.reshape(R * up * F_), new_state
 
 
 # ---------------------------------------------------------------------------

@@ -504,8 +504,15 @@ def make_kernel_params(config=None, prev_impl: str = "shift"):
         taps_per_phase=config.resample_taps_per_phase,
         cutoff_frac=config.resample_cutoff_frac)
     h_poly = F.make_polyphase(h, config.resample_up)
+    # 4 frames per matmul row: N = 4*up = 64 MXU lanes instead of 16.
+    # Interleaved on-chip A/B (round 4): 0.218 -> 0.182 ms/block whole
+    # path (-16%); F=8/16 measured no further gain.  Kernel chunks are
+    # always a multiple of 128*down samples, so the span constraint
+    # (down*4) is free here (the generic XLA chain keeps F=1: its
+    # streamer quantum only guarantees multiples of down).
     V = jnp.asarray(F.make_aligned_poly_matrix(
-        h_poly, config.resample_up, config.resample_down))
+        h_poly, config.resample_up, config.resample_down,
+        frames_per_row=4))
     return W_hi, W_lo, V
 
 
@@ -704,16 +711,19 @@ def pallas_resample(x: jax.Array, v: jax.Array, up: int, down: int,
     Here frames are assembled in VMEM per grid step and the matmul runs
     3-pass f32 (HIGH, ~f32-accurate); HBM traffic drops to the two row
     views + audio."""
-    Tm1 = v.shape[0] - down
+    F_ = v.shape[1] // up  # frames packed per row (see make_aligned_poly_matrix)
+    span = down * F_
+    out_w = up * F_
+    Tm1 = v.shape[0] - span
     n = x.shape[0]
-    assert n % down == 0, f"block of {n} not divisible by down={down}"
-    R = n // down
+    assert n % span == 0, f"block of {n} not divisible by span={span}"
+    R = n // span
     rb = rows_per_step
     while R % rb:
         rb //= 2
     xe = jnp.concatenate([hist, x])  # (n + T - 1)
-    base = xe[Tm1:].reshape(R, down)
-    left = xe[: R * down].reshape(R, down)[:, :Tm1]
+    base = xe[Tm1:].reshape(R, span)
+    left = xe[: R * span].reshape(R, span)[:, :Tm1]
     v_hi = v.astype(jnp.bfloat16)
     v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     w_spec = pl.BlockSpec((v.shape[0], v.shape[1]), lambda s: (0, 0),
@@ -726,15 +736,15 @@ def pallas_resample(x: jax.Array, v: jax.Array, up: int, down: int,
             w_spec,
             pl.BlockSpec((rb, Tm1), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rb, down), lambda s: (s, 0),
+            pl.BlockSpec((rb, span), lambda s: (s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rb, up), lambda s: (s, 0),
+        out_specs=pl.BlockSpec((rb, out_w), lambda s: (s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, up), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, out_w), jnp.float32),
         interpret=interpret,
     )(v_hi, v_lo, left, base)
-    return audio.reshape(R * up), xe[xe.shape[0] - Tm1:]
+    return audio.reshape(R * out_w), xe[xe.shape[0] - Tm1:]
 
 
 def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
