@@ -216,29 +216,12 @@ def main() -> None:
                 timing["pallas_geometry"] = "chunks_per_step=8"
         except Exception:
             pass
-    try:
-        results["xla_bf16"], timing["xla_bf16"] = bench_xla(
-            host_block, "split_bf16")
-    except Exception:
-        pass
-    try:
-        results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
-    except Exception:
-        pass
-    # optional extra geometry, only if the budget allows
-    if on_tpu and _left() > 120:
-        try:
-            r = bench_pallas(host_block, chunks_per_step=2)
-            if r and ("pallas" not in results or r[0] < results["pallas"]):
-                results["pallas"], timing["pallas"] = r
-                timing["pallas_geometry"] = "chunks_per_step=2"
-        except Exception:
-            pass
-
-    # Host-fed SYSTEM number (file -> native ring -> device_put -> fused
-    # kernel -> on-device audio accumulator) + the pure-transport ceiling.
-    # Secondary metrics: recorded in the JSON line, never the headline
-    # (the headline is the compute chain on device-resident data).
+    # Host-fed SYSTEM metric (file -> native ring -> device_put -> fused
+    # kernel -> on-device audio accumulator vs the same plumbing minus
+    # compute): the pipeline/ceiling RATIO, measured right after the
+    # headline so a throttled phase late in the budget cannot drop it
+    # from the artifact (the xla fallback paths below are the optional
+    # extras, not this).
     if on_tpu and _left() > 90:
         try:
             from benchmarks.hostfed import measure_host_fed_ratio
@@ -256,6 +239,25 @@ def main() -> None:
                 timing["h2d_ceiling_trials_msps"] = r["ceil_trials_msps"]
                 timing["host_fed"] = r["flags"]["pipeline"][0]
                 timing["h2d_ceiling"] = r["flags"]["ceiling"][0]
+        except Exception:
+            pass
+
+    try:
+        results["xla_bf16"], timing["xla_bf16"] = bench_xla(
+            host_block, "split_bf16")
+    except Exception:
+        pass
+    try:
+        results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
+    except Exception:
+        pass
+    # optional extra geometry, only if the budget allows
+    if on_tpu and _left() > 120:
+        try:
+            r = bench_pallas(host_block, chunks_per_step=2)
+            if r and ("pallas" not in results or r[0] < results["pallas"]):
+                results["pallas"], timing["pallas"] = r
+                timing["pallas_geometry"] = "chunks_per_step=2"
         except Exception:
             pass
 
