@@ -132,22 +132,28 @@ def _spb(t_s: float, t_l: float, n_s: int, n_l: int) -> tuple[float, str]:
     return t_l / n_l, "upper_bound"
 
 
-def measure_host_fed_ratio(trial_pairs: int = 3, n_short: int = 3,
-                           n_long: int = 9, chunks_per_step: int = 2,
-                           time_left=None):
-    """INTERLEAVED pipeline-vs-ceiling measurement; returns a dict or None.
+def measure_host_fed_ratio(trial_pairs: int = 4, n_long: int = 8,
+                           chunks_per_step: int = 2, time_left=None):
+    """ADJACENT-pair pipeline-vs-ceiling measurement; returns a dict or
+    None.
 
-    Each trial runs {pipeline short, pipeline long, ceiling short,
-    ceiling long} back to back so both legs sit in the same tunnel phase;
-    the per-trial ratio ceiling_spb / pipeline_spb is phase-immune.  Keys:
+    Each trial runs one long pipeline pass and one long ceiling pass
+    back to back (seconds apart — the only pairing tight enough for this
+    host's minutes-long tunnel phases; round 4 showed even short/long
+    legs of ONE trial can straddle a phase edge).  The per-trial ratio
+    is the raw adjacent quotient: over ~20 s runs the fixed feeder/
+    dispatch costs amortize below the phase noise and cancel in the
+    quotient anyway (both legs share them).  Keys:
 
     * ``ratio``: median per-trial pipeline/ceiling throughput ratio (the
       headline — 1.0 means the compute is fully hidden behind the wire),
+    * ``ratio_best``: best-of-trials pairing (each leg's fastest run) —
+      the phase-robust summary when trials disagree,
     * ``ratio_trials``: every per-trial ratio (spread = provenance),
     * ``host_fed_msps`` / ``h2d_ceiling_msps``: best-of-trials absolute
-      complex Msamples/s per leg (tunnel-phase dependent on this host),
-    * ``pipe_trials_msps`` / ``ceil_trials_msps``, ``block_bytes``,
-      ``flags``: per-leg timing flags.
+      complex Msamples/s per leg (conservative t/n upper bounds; on this
+      host they track the tunnel phase, not the pipeline),
+    * ``pipe_trials_msps`` / ``ceil_trials_msps``, ``block_bytes``.
     """
     run, block_bytes, cleanup = _make_harness(chunks_per_step)
     try:
@@ -157,47 +163,36 @@ def measure_host_fed_ratio(trial_pairs: int = 3, n_short: int = 3,
         run(2, False)
         run(n_long, True)
         run(n_long, False)
-        ratios, pipe_spbs, ceil_spbs = [], [], []
-        pipe_flags, ceil_flags = [], []
+        ratios, pipe_ts, ceil_ts = [], [], []
         for i in range(trial_pairs):
             if time_left is not None and time_left() <= 0:
                 break
-            # alternate leg order between trials so slow phase drift
-            # within a trial biases the ratio both ways and medians out
+            # alternate leg order between trials so any slow drift
+            # within a pair biases the ratio both ways and medians out
             if i % 2 == 0:
-                tp_s = run(n_short, True)
-                tp_l = run(n_long, True)
-                tc_s = run(n_short, False)
-                tc_l = run(n_long, False)
+                tp = run(n_long, True)
+                tc = run(n_long, False)
             else:
-                tc_s = run(n_short, False)
-                tc_l = run(n_long, False)
-                tp_s = run(n_short, True)
-                tp_l = run(n_long, True)
-            sp, fp = _spb(tp_s, tp_l, n_short, n_long)
-            sc, fc = _spb(tc_s, tc_l, n_short, n_long)
-            pipe_spbs.append(sp)
-            ceil_spbs.append(sc)
-            pipe_flags.append(fp)
-            ceil_flags.append(fc)
-            ratios.append(sc / sp)  # throughput ratio = spb inverse ratio
+                tc = run(n_long, False)
+                tp = run(n_long, True)
+            pipe_ts.append(tp)
+            ceil_ts.append(tc)
+            ratios.append(tc / tp)
         if not ratios:
             return None
-        msps = lambda s: round(block_bytes / 2 / s / 1e6, 1)  # noqa: E731
+        msps = lambda t: round(  # noqa: E731
+            n_long * block_bytes / 2 / t / 1e6, 1)
         return {
             "ratio": round(float(np.median(ratios)), 3),
-            # best-of-trials pairing: each leg's fastest (clean-phase)
-            # spb.  With enough trials both legs sample the clean phase
-            # at least once, making this the phase-robust summary; the
-            # per-trial ratios above are the provenance.
-            "ratio_best": round(min(ceil_spbs) / min(pipe_spbs), 3),
+            "ratio_best": round(min(ceil_ts) / min(pipe_ts), 3),
             "ratio_trials": [round(r, 3) for r in ratios],
-            "host_fed_msps": msps(min(pipe_spbs)),
-            "h2d_ceiling_msps": msps(min(ceil_spbs)),
-            "pipe_trials_msps": [msps(s) for s in pipe_spbs],
-            "ceil_trials_msps": [msps(s) for s in ceil_spbs],
+            "host_fed_msps": msps(min(pipe_ts)),
+            "h2d_ceiling_msps": msps(min(ceil_ts)),
+            "pipe_trials_msps": [msps(t) for t in pipe_ts],
+            "ceil_trials_msps": [msps(t) for t in ceil_ts],
             "block_bytes": block_bytes,
-            "flags": {"pipeline": pipe_flags, "ceiling": ceil_flags},
+            "flags": {"pipeline": ["adjacent_upper_bound"] * len(pipe_ts),
+                      "ceiling": ["adjacent_upper_bound"] * len(ceil_ts)},
         }
     finally:
         cleanup()

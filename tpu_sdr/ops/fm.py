@@ -348,16 +348,23 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
     n = x.shape[0]
     assert n % span == 0, f"block of {n} not divisible by span={span}"
     R = n // span
-    xe = jnp.concatenate([state.hist, x])  # (n + T - 1)
-    base = xe[Tm1:].reshape(R, span)
-    # left halo: previous T-1 samples of each frame = xe[r*span : r*span+T-1]
-    left = xe[: R * span].reshape(R, span)[:, :Tm1] if Tm1 <= span else None
     if Tm1 <= span:
-        frames = jnp.concatenate([left, base], axis=1)
+        # Row-view construction: frame bodies are the FREE reshape of x
+        # itself (row-major), and each frame's T-1 history is the tail of
+        # the previous row (the carried hist for row 0) — no offset-slice
+        # reshape of the concatenated buffer.  Interleaved on-chip A/B
+        # (round 4): 0.177 -> 0.165 ms/block on the whole fused path.
+        zr = x.reshape(R, span)
+        left = jnp.concatenate([state.hist[None, :],
+                                zr[:-1, span - Tm1:]], axis=0)
+        frames = jnp.concatenate([left, zr], axis=1)
+        new_state = AlignedResampleState(x[n - Tm1:])
     else:  # very long windows: fall back to explicit slicing
+        xe = jnp.concatenate([state.hist, x])  # (n + T - 1)
         idx = jnp.arange(span + Tm1)
         starts = jnp.arange(R) * span
         frames = xe[starts[:, None] + idx[None, :]]
+        new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
     y = jax.lax.dot_general(
         frames, V, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -366,8 +373,7 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
         # TPU (0.227 -> 0.212 ms/block, round-4 interleaved A/B) for
         # accuracy nothing downstream can observe.
         precision=lax.Precision.HIGH,
-    )  # (R, up)
-    new_state = AlignedResampleState(xe[xe.shape[0] - Tm1:])
+    )  # (R, up*F)
     return y.reshape(R * up * F_), new_state
 
 
