@@ -311,3 +311,25 @@ def test_kernel_variant_pallas_resampler_matches_xla(capture):
     b = np.concatenate(outs)
     assert b.shape == a.shape
     assert _snr_db(a, b) > 100.0
+
+
+def test_kernel_variant_i16_z_output(capture):
+    """z_impl='i16' (Q15 fixed-point discriminator output, halved kernel
+    HBM write) must stay >=90 dB of the f32 chain.  Kept
+    equivalence-tested although 'f32' stays the default: the on-chip A/B
+    measured i16 2% SLOWER (0.168 vs 0.165 ms/block — the quantize ops
+    plus the epilogue cast eat the bandwidth; see NEXT.md round 4)."""
+    ref = pallas_fm.PallasWbfmStreamer(interpret=True).demodulate(capture)
+    import jax.numpy as jnp
+
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    st = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                   ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    audio, _, _ = pallas_fm.demodulate_fused(
+        d16, jnp.asarray([0], jnp.int32), st, rh, w_hi, w_lo, v, SPEC,
+        interpret=True, z_impl="i16")
+    got = np.asarray(audio)
+    assert got.shape == ref.shape
+    assert _snr_db(ref, got) > 90.0
