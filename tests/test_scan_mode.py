@@ -143,3 +143,64 @@ def test_scan_range_syntax_hops(scan_dongle, caplog, monkeypatch):
     found = [r.getMessage() for r in caplog.records
              if "signal at" in r.getMessage()]
     assert any(str(F_B) in m for m in found), f"B never found: {found}"
+
+
+@pytest.mark.slow
+def test_scan_over_rtl_tcp(monkeypatch, caplog):
+    """The scan loop over a NETWORK source: retunes ride the rtl_tcp
+    command channel, and --scan-settle discards the server-queued
+    pre-retune blocks the client cannot flush."""
+    import io
+    import sys
+    import threading
+    import time
+
+    from tpu_sdr import api
+    from tpu_sdr.apps import rtl_fm
+    from tpu_sdr.stream.rtl_tcp_server import RtlTcpServer
+
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="scantcp1",
+        source_factory=lambda: fake.StationSource(
+            [(F_A, TONE_A, 4_000.0, 0.0, 0.45),
+             (F_B, TONE_B, 4_000.0, 0.0, float("inf"))],
+            noise_std=0.002)))
+    sdr = api.RtlSdr.open_with_index(0)
+    sdr.set_sample_rate(RATE)
+    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while srv.bound_port is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert srv.bound_port is not None
+
+    class _Out:
+        def __init__(self):
+            self.buffer = io.BytesIO()
+
+        def flush(self):
+            pass
+
+        def write(self, s):
+            pass
+
+    monkeypatch.setattr(sys, "stdout", _Out())
+    try:
+        with caplog.at_level(logging.INFO, logger="rtl_fm"):
+            rc = rtl_fm.main([
+                "-M", "fm", "-l", "-30", "--scan-hold", "2",
+                "--blocks", "20", "--tcp", f"127.0.0.1:{srv.bound_port}",
+                "-f", str(F_A), "-f", str(F_EMPTY), "-f", str(F_B)])
+        assert rc == 0
+    finally:
+        srv.stop()
+        t.join(timeout=3)
+        sdr.close()
+        fake.clear_fake_devices()
+
+    found = [r.getMessage() for r in caplog.records
+             if "signal at" in r.getMessage()]
+    assert any(str(F_A) in m for m in found), f"A never found: {found}"
+    assert any(str(F_B) in m for m in found), f"B never found: {found}"

@@ -92,6 +92,11 @@ def main(argv=None) -> int:
                         "frequency, require N consecutive squelch-closed "
                         "blocks before hopping on (fade tolerance; the "
                         "original's conseq_squelch)")
+    p.add_argument("--scan-settle", type=int, default=None, metavar="N",
+                   help="scan mode: discard N blocks after each retune "
+                        "(default 0 for a local device, whose buffer is "
+                        "reset on hop; 1 for --tcp, where the server's "
+                        "queue still holds pre-retune samples)")
     args = p.parse_args(argv)
     freqs = []
     for spec in (args.frequency or ["94.9M"]):
@@ -178,9 +183,13 @@ def main(argv=None) -> int:
             return data if data else None
 
     if scanning:
+        settle = args.scan_settle
+        if settle is None:
+            settle = 1 if args.tcp else 0
         try:
             return scan_loop(freqs, streamer, tune, read_one, emit,
-                             hold=args.scan_hold, max_blocks=args.blocks)
+                             hold=args.scan_hold, max_blocks=args.blocks,
+                             settle=settle)
         finally:
             source.close()
 
@@ -200,7 +209,7 @@ def main(argv=None) -> int:
 
 
 def scan_loop(freqs: list[int], streamer, tune, read_one, emit,
-              hold: int = 4, max_blocks: int = 0) -> int:
+              hold: int = 4, max_blocks: int = 0, settle: int = 0) -> int:
     """Squelch-driven frequency hopping (the original C rtl_fm's scan
     loop, which the reference port dropped along with multi ``-f``).
 
@@ -219,6 +228,13 @@ def scan_loop(freqs: list[int], streamer, tune, read_one, emit,
         freq = freqs[idx]
         tune(freq)
         streamer.reset()
+        # discard in-flight pre-retune samples (rtl_tcp servers keep a
+        # queue the client cannot reset; a local device was reset in
+        # tune())
+        for _ in range(settle):
+            if read_one() is None:
+                log.info("scan: source ended")
+                return 0
         log.info("scan: %d Hz", freq)
         heard = False
         closed_run = 0
