@@ -134,8 +134,8 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
     halo_bound_s = max(halo_s, float(np.median(np.abs(halo_ests))))
 
     # conservative compute time: the headline single-chip rate applied to
-    # this shard (bench.py round-3 clean-phase ~54 Gsps)
-    msps_bench = 53_945.0
+    # this shard (bench.py round-4 clean-phase ~78.7 Gsps)
+    msps_bench = 78_743.0
     c_bench = n_loc / (msps_bench * 1e6)
     overhead = 2.0 * halo_bound_s  # carry DMA + resampler halo permute
 

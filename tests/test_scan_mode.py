@@ -163,7 +163,10 @@ def test_scan_over_rtl_tcp(monkeypatch, caplog):
     fake.register_fake_device(fake.FakeDeviceSpec(
         serial="scantcp1",
         source_factory=lambda: fake.StationSource(
-            [(F_A, TONE_A, 4_000.0, 0.0, 0.45),
+            # A's window is generous here: antenna time advances with
+            # SERVER reads, and under full-suite load jit compiles can
+            # consume seconds of it before the scanner listens
+            [(F_A, TONE_A, 4_000.0, 0.0, 1.2),
              (F_B, TONE_B, 4_000.0, 0.0, float("inf"))],
             noise_std=0.002)))
     sdr = api.RtlSdr.open_with_index(0)
@@ -191,7 +194,7 @@ def test_scan_over_rtl_tcp(monkeypatch, caplog):
         with caplog.at_level(logging.INFO, logger="rtl_fm"):
             rc = rtl_fm.main([
                 "-M", "fm", "-l", "-30", "--scan-hold", "2",
-                "--blocks", "20", "--tcp", f"127.0.0.1:{srv.bound_port}",
+                "--blocks", "40", "--tcp", f"127.0.0.1:{srv.bound_port}",
                 "-f", str(F_A), "-f", str(F_EMPTY), "-f", str(F_B)])
         assert rc == 0
     finally:

@@ -97,6 +97,9 @@ class WbfmParams:
     resamp_V: jax.Array  # (down + T - 1, up) aligned polyphase resampler
     box_V: jax.Array  # (down, up) aligned boxcar resampler
     decim_W_split: tuple[jax.Array, jax.Array] | None = None  # bf16 hi/lo
+    # 4-frames-per-row packed resampler (N = 4*up MXU lanes; round 4):
+    # usable whenever the block length divides down*4
+    resamp_V4: jax.Array | None = None
 
 
 def make_params(config: WbfmConfig) -> WbfmParams:
@@ -117,9 +120,12 @@ def make_params(config: WbfmConfig) -> WbfmParams:
         F.make_split_bf16(np.asarray(decim_W))
         if config.mxu_precision == "split_bf16" else None
     )
+    resamp_V4 = F.make_aligned_poly_matrix(
+        h_poly, config.resample_up, config.resample_down, frames_per_row=4)
     return WbfmParams(
         jnp.asarray(decim_taps), jnp.asarray(h_poly), jnp.asarray(decim_W),
         jnp.asarray(resamp_V), jnp.asarray(box_V), W_split,
+        jnp.asarray(resamp_V4),
     )
 
 
@@ -190,8 +196,13 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
         if aligned:
             # Frame-matmul path: valid while the stream sticks to aligned
             # block sizes (the fractional phase then stays 0 forever).
+            # 4-frame N-lane packed V when the block divides down*4
+            # (round-4 MXU packing; identical output to ~1e-7).
+            V = (params.resamp_V4
+                 if params.resamp_V4 is not None and n_out % (down * 4) == 0
+                 else params.resamp_V)
             audio, rs = F.aligned_resample(
-                y, params.resamp_V, up, down,
+                y, V, up, down,
                 F.AlignedResampleState(state.resamp.hist),
             )
             count = jnp.int32(audio.shape[0])
@@ -210,7 +221,7 @@ def demodulate_block(buf: jax.Array, state: WbfmState, params: WbfmParams,
 jax.tree_util.register_pytree_node(
     WbfmParams,
     lambda p: ((p.decim_taps, p.resamp_poly, p.decim_W, p.resamp_V, p.box_V,
-                p.decim_W_split), None),
+                p.decim_W_split, p.resamp_V4), None),
     lambda _, c: WbfmParams(*c),
 )
 

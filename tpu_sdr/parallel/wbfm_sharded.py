@@ -168,6 +168,8 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
     start = shard * n_out  # global index of our first demod sample
 
     aligned = n_out % down == 0  # static; both modes share (up, down)
+    pack = 4 if (config.filter_mode != "boxcar"
+                 and n_out % (down * 4) == 0) else 1
     # Single-neighbor halo bound (see make_sharded_wbfm): the widest
     # demod-side halo any path below pulls.
     max_halo = 0 if config.filter_mode == "boxcar" and aligned else (
@@ -183,7 +185,13 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
             V = params.box_V
             halo = jnp.zeros((st, 0), jnp.float32)
         else:
-            V = params.resamp_V
+            if pack > 1 and params.resamp_V4 is not None:
+                # N-lane packed V (same -15% as the single-chip epilogue,
+                # round 4); the T-1 halo is unchanged (window overlap
+                # does not depend on the packing)
+                V = params.resamp_V4
+            else:
+                V = params.resamp_V
             halo = pull_left_halo(demod.T, T - 1, axis_name).T
         m_frames = n_out // down
         count = jnp.int32(m_frames * up)
