@@ -14,10 +14,16 @@ Configs covered (BASELINE.json):
 from __future__ import annotations
 
 import json
+import os
+import sys
 import threading
 import time
 
 import numpy as np
+
+# importable when run as `python benchmarks/bench_suite.py` without
+# touching PYTHONPATH (which would evict the axon TPU plugin path)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _run(fn, *args, iters=20):
