@@ -164,3 +164,56 @@ def test_rtl_power_multi_pass_waterfall():
         fake.clear_fake_devices()
     assert rc == 0
     assert len(_parse_rows(text)) == 3 * n_hops  # hops x three passes
+
+
+@pytest.mark.slow
+def test_rtl_power_over_rtl_tcp():
+    """Remote spectrum scan: hops ride the rtl_tcp command channel, with
+    a settle block discarding the server-queued pre-hop samples.  The
+    frequency-aware StationSource must put each hop's peak at the
+    station's true offset."""
+    import threading
+    import time
+
+    from tpu_sdr import api
+    from tpu_sdr.apps.rtl_power import main
+    from tpu_sdr.control import fake
+    from tpu_sdr.stream.rtl_tcp_server import RtlTcpServer
+
+    rate = 1_020_000
+    f_st = 95_000_000
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="pwtcp001",
+        source_factory=lambda: fake.StationSource(
+            [(f_st, 1_000.0, 40_000.0)], noise_std=0.003)))
+    sdr = api.RtlSdr.open_with_index(0)
+    sdr.set_sample_rate(rate)
+    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    deadline = time.time() + 5
+    while srv.bound_port is None and time.time() < deadline:
+        time.sleep(0.01)
+    assert srv.bound_port is not None
+    try:
+        low, high = 94_400_000, 94_400_000 + 2 * rate
+        rc, text = _run_capture_text(
+            main, ["-f", f"{low}:{high}:8k", "-s", str(rate), "-b", "2",
+                   "--tcp", f"127.0.0.1:{srv.bound_port}"])
+    finally:
+        srv.stop()
+        t.join(timeout=3)
+        sdr.close()
+        fake.clear_fake_devices()
+    assert rc == 0
+    rows = _parse_rows(text)
+    assert len(rows) >= 2
+    # the station must appear in exactly the hop(s) whose span covers it,
+    # at its absolute frequency
+    hot = [(hz_low, step, bins) for hz_low, hz_high, step, bins in rows
+           if hz_low <= f_st < hz_high]
+    assert hot, "no hop covered the station"
+    for hz_low, step, bins in hot:
+        peak_hz = hz_low + step * int(np.argmax(bins))
+        assert abs(peak_hz - f_st) < 60_000, f"peak at {peak_hz}"

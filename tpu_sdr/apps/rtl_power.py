@@ -99,6 +99,15 @@ def main(argv=None) -> int:
     p.add_argument("--file", default=None,
                    help="compute one PSD row from this capture instead of "
                         "a device")
+    p.add_argument("--tcp", metavar="HOST:PORT", default=None,
+                   help="scan a REMOTE dongle over the rtl_tcp protocol "
+                        "instead of a local device (hops ride the "
+                        "command channel)")
+    p.add_argument("--settle", type=int, default=None, metavar="N",
+                   help="discard N blocks after each hop (default 0 for "
+                        "a local device, whose buffer is reset; 1 for "
+                        "--tcp, where the server queue still holds "
+                        "pre-hop samples)")
     args = p.parse_args(argv)
 
     from tpu_sdr.ops.spectrum import PsdStreamer
@@ -125,16 +134,51 @@ def main(argv=None) -> int:
         else:
             low, high, step = parse_range(args.freq)
             n_fft = fft_size_for(rate, step)
-            from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
+            settle = args.settle
+            if args.tcp:
+                from tpu_sdr.stream.feeder import RtlTcpClientSource
 
-            sdr = RtlSdr.open(DeviceId.index(args.device))
-            try:
+                host, _, port = args.tcp.rpartition(":")
+                client = RtlTcpClientSource(host or "127.0.0.1", int(port))
+                client.set_sample_rate(rate)
+                if args.gain is None:
+                    client.set_gain_mode(False)
+                else:
+                    client.set_gain_mode(True)
+                    client.set_gain(int(round(args.gain * 10)))
+
+                def tune(freq: int) -> None:
+                    client.set_frequency(freq)
+
+                def read_one():
+                    return client.read_block(DEFAULT_BUF_LENGTH)
+
+                close = client.close
+                if settle is None:
+                    settle = 1  # server queue holds pre-hop samples
+            else:
+                from tpu_sdr.api import DeviceId, RtlSdr, TunerGain
+
+                sdr = RtlSdr.open(DeviceId.index(args.device))
                 sdr.set_sample_rate(rate)
                 if args.gain is None:
                     sdr.set_tuner_gain(TunerGain.AUTO)
                 else:
                     sdr.set_tuner_gain(
                         TunerGain.manual(int(round(args.gain * 10))))
+
+                def tune(freq: int) -> None:
+                    sdr.set_center_freq(freq)
+                    sdr.reset_buffer()
+
+                def read_one():
+                    data = sdr.read_sync(DEFAULT_BUF_LENGTH)
+                    return data if len(data) == DEFAULT_BUF_LENGTH else None
+
+                close = sdr.close
+                if settle is None:
+                    settle = 0
+            try:
                 centers = hop_centers(low, high, rate)
                 print(f"Scanning {len(centers)} hop(s), FFT {n_fft}, "
                       f"bin {rate / n_fft:.0f} Hz", file=sys.stderr)
@@ -144,12 +188,13 @@ def main(argv=None) -> int:
                 try:
                     while args.passes == 0 or done < args.passes:
                         for center in centers:
-                            sdr.set_center_freq(center)
-                            sdr.reset_buffer()
+                            tune(center)
+                            for _ in range(settle):
+                                read_one()
                             ps = PsdStreamer(n_fft)
                             for _ in range(args.blocks):
-                                data = sdr.read_sync(DEFAULT_BUF_LENGTH)
-                                if len(data) < DEFAULT_BUF_LENGTH:
+                                data = read_one()
+                                if data is None:
                                     print("Short read, hop truncated",
                                           file=sys.stderr)
                                     break
@@ -162,7 +207,7 @@ def main(argv=None) -> int:
                 except KeyboardInterrupt:
                     print("\nUser cancel, exiting...", file=sys.stderr)
             finally:
-                sdr.close()
+                close()
     finally:
         out.flush()
         if out is not sys.stdout:
