@@ -262,8 +262,9 @@ def test_blog_v4_detection_and_upconvert():
     backend = fake.FakeUsbBackend(spec)
     core = SdrCore(Device(backend))
     core.init()
-    # V4 is an R828D board, but the probe serves the shared check value, so
-    # the driver identifies by USB strings for the xtal decision
+    # the V4 board's R828D is probed at 0x74 (the 0x34 probe NAKs) and
+    # the USB strings mark it Blog V4, which keeps the 28.8 MHz xtal
+    assert core.tuner.chip == "r828d" and core.tuner.is_blog_v4
     assert core.tuner_xtal == 28_800_000  # V4 keeps 28.8 MHz (rtlsdr.rs:97-100)
 
 
@@ -462,15 +463,18 @@ def test_decode_tuned_freq_tracks_retune():
         fake.clear_fake_devices()
 
 
-def test_decode_tuned_freq_blog_v4_fake_probes_r820t():
-    """A Blog-V4 fake still probes as an R820T (the fake's I2C tunnel is
-    address-agnostic, so the first KNOWN_TUNERS entry wins) — the decoder
-    uses R820T semantics unconditionally and must still round-trip."""
+def test_decode_tuned_freq_blog_v4_r828d():
+    """A Blog-V4 fake carries an R828D at I2C 0x74 (the R820T probe at
+    0x34 NAKs, like real hardware), so the driver runs its R828D paths;
+    the fake serves vco_fine_tune == R828D's vco_power_ref so the PLL
+    inversion still round-trips exactly."""
     fake.clear_fake_devices()
     fake.register_fake_device(fake.FakeDeviceSpec(is_blog_v4=True))
     sdr = api.RtlSdr.open_with_index(0)
     try:
+        assert sdr.get_tuner_id() == api.TunerId.R828D
         backend = sdr._core.handle.handle
+        assert backend.tuner_i2c_addr == 0x74
         for f in (100_000_000, 434_000_000, 1_090_000_000):
             sdr.set_center_freq(f)
             got = fake.decode_tuned_freq(backend)

@@ -140,3 +140,35 @@ def test_simple_fm_device_mode_receives_right_station(dongle):
         pcm = np.concatenate(audio).astype(np.float64)
         snr = synth.tone_snr(pcm, tone, 32_000, skip=1500)
         assert snr > 20, f"station at {f_target}: tone {tone} Hz {snr:.1f} dB"
+
+
+def test_blog_v4_r828d_end_to_end_receive():
+    """A Blog-V4 fake (R828D at I2C 0x74, V4 input-select/notch paths in
+    the driver) must receive a station end to end: the R828D PLL
+    programming chain feeding the frequency-aware antenna, plus the
+    rtl_tcp tuner-type identity."""
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.utils import synth
+
+    fake.clear_fake_devices()
+    fake.register_fake_device(fake.FakeDeviceSpec(
+        serial="v4000001", is_blog_v4=True,
+        source_factory=lambda: fake.StationSource(
+            [(F1, 1_000.0, 60_000.0)])))
+    sdr = api.RtlSdr.open_with_index(0)
+    try:
+        assert sdr.get_tuner_id() == api.TunerId.R828D
+        sdr.set_sample_rate(RATE)
+        sdr.set_center_freq(F1 + RATE // 4)
+        sdr.reset_buffer()
+        rx = wbfm.WbfmStreamer(wbfm.WbfmConfig(filter_mode="fir"))
+        audio = []
+        for _ in range(4):
+            audio.append(rx.demodulate(
+                np.frombuffer(sdr.read_sync(262_144), np.uint8)))
+        pcm = np.concatenate(audio).astype(np.float64)
+        snr = synth.tone_snr(pcm, 1_000.0, 32_000, skip=1500)
+        assert snr > 20, f"V4/R828D receive: {snr:.1f} dB"
+    finally:
+        sdr.close()
+        fake.clear_fake_devices()

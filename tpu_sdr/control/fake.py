@@ -51,14 +51,21 @@ def bit_reverse_u8(b: int) -> int:
 # bit-reverses what it reads (r82xx.rs:1144-1147), so these are chosen to
 # present: probe value 0x69 at reg 0 (tuners/mod.rs & r82xx.rs:330-344);
 # PLL lock bit (reversed & 0x40) at reg 2 (r82xx.rs:783-801); VCO fine tune
-# == 2 and fil_cal_code == 0 at reg 4 (r82xx.rs:726-731, 1015-1024).
-_R82XX_READ_REGS = bytes([
-    0x69,                      # reg 0: chip id / probe check value
-    0x00,                      # reg 1
-    bit_reverse_u8(0x40),      # reg 2: PLL locked
-    bit_reverse_u8(0x42),      # reg 3: mixer/lna gain readout
-    bit_reverse_u8(0x20),      # reg 4: vco_fine_tune=2, fil_cal_code=0
-])
+# == the chip's vco_power_ref (2 for R820T, 1 for R828D — serving the
+# matching value keeps the driver's div_num adjustment at 0, which the
+# PLL inversion in decode_tuned_freq relies on) and fil_cal_code == 0 at
+# reg 4 (r82xx.rs:726-731, 1015-1024).
+def _r82xx_read_regs(vco_power_ref: int) -> bytes:
+    return bytes([
+        0x69,                          # reg 0: chip id / probe check value
+        0x00,                          # reg 1
+        bit_reverse_u8(0x40),          # reg 2: PLL locked
+        bit_reverse_u8(0x42),          # reg 3: mixer/lna gain readout
+        bit_reverse_u8(vco_power_ref << 4),  # reg 4: vco_fine_tune, cal=0
+    ])
+
+
+_R82XX_READ_REGS = _r82xx_read_regs(2)  # R820T default (back-compat)
 
 
 class SampleSource:
@@ -145,6 +152,15 @@ class FakeUsbBackend:
         self.demod_regs: dict[tuple[int, int], int] = {}
         self.tuner_regs = bytearray(32)
         self._tuner_read_ptr = 0
+        # A Blog V4 board carries an R828D at I2C 0x74 (the driver's
+        # probe at the R820T's 0x34 must NAK, like real hardware); plain
+        # boards simulate the R820T at 0x34.
+        if self.spec.is_blog_v4:
+            self.tuner_i2c_addr = 0x74
+            self._read_regs = _r82xx_read_regs(1)  # R828D vco_power_ref
+        else:
+            self.tuner_i2c_addr = 0x34
+            self._read_regs = _r82xx_read_regs(2)
         self.eeprom = self.spec.make_eeprom()
         self._eeprom_ptr = 0
         self.claimed: list[int] = []
@@ -236,6 +252,11 @@ class FakeUsbBackend:
             for i, b in enumerate(data[1:]):
                 self.eeprom[(self._eeprom_ptr + i) % C.EEPROM_SIZE] = b
             return
+        if addr != self.tuner_i2c_addr:
+            # nothing on the bus at this address: the transfer NAKs, the
+            # control transfer fails (how a real probe of an absent chip
+            # behaves; the driver's search_tuner logs and continues)
+            raise UsbError(f"I2C NAK: no device at {addr:#x}")
         # Tuner write: first byte is the register address, rest is data
         # (ref r82xx.rs:1109-1136); a lone address byte sets the read pointer.
         if not data:
@@ -255,6 +276,8 @@ class FakeUsbBackend:
             )
             self._eeprom_ptr = (self._eeprom_ptr + length) % C.EEPROM_SIZE
             return out
+        if addr != self.tuner_i2c_addr:
+            raise UsbError(f"I2C NAK: no device at {addr:#x}")
         # Tuner read from the current pointer.  Read-only regs 0..4 serve the
         # canned status bytes; RW regs echo what was written (raw wire bytes
         # are the bit-reverse of the logical values the driver caches, which
@@ -262,8 +285,8 @@ class FakeUsbBackend:
         out = bytearray()
         for i in range(length):
             reg = self._tuner_read_ptr + i
-            if reg < len(_R82XX_READ_REGS):
-                out.append(_R82XX_READ_REGS[reg])
+            if reg < len(self._read_regs):
+                out.append(self._read_regs[reg])
             elif reg < len(self.tuner_regs):
                 out.append(bit_reverse_u8(self.tuner_regs[reg]))
             else:
@@ -346,13 +369,14 @@ def decode_tuned_freq(backend: "FakeUsbBackend") -> int:
         lo  = vco / mix_div
         rf  = lo - if_freq           (set_freq: lo = rf + int_freq)
 
-    R820T semantics throughout: the fake's I2C tunnel is address-agnostic
-    (``_i2c_read`` serves the same registers at every address), so the
-    driver's probe always matches the FIRST ``KNOWN_TUNERS`` entry — the
-    R820T at 0x34 — regardless of ``is_blog_v4``; with the served
-    ``vco_fine_tune == 2`` equal to the R820T's ``vco_power_ref``, the
-    driver's div_num adjustment is 0.  SDM resolution bounds the round
-    trip to ~2*pll_ref/65536/mix_div Hz (<1 kHz everywhere).
+    The fake's I2C tunnel is address-aware: plain boards simulate the
+    R820T at 0x34, Blog-V4 boards the R828D at 0x74 (the 0x34 probe NAKs
+    like real hardware).  Either way the fake serves ``vco_fine_tune ==
+    vco_power_ref`` for the probed chip, so the driver's div_num
+    adjustment is 0 and the same inversion covers both.  SDM resolution
+    bounds the round trip to ~2*pll_ref/65536/mix_div Hz (<1 kHz
+    everywhere).  Known limitation: the V4 upconverter below 28.8 MHz is
+    not inverted (the decoded frequency is the post-upconvert LO input).
     """
     from tpu_sdr.control.rtlsdr import DEF_RTL_XTAL_FREQ
 
