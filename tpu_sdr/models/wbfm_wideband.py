@@ -73,6 +73,9 @@ class WidebandParams:
     h_poly: jax.Array          # (rows, K) PFB branch matrix
     pfb_W: jax.Array           # fused branch+DFT conv weights
     resamp_V: jax.Array        # (down + T - 1, up) aligned resampler
+    # 4-frames-per-row packed variant (N-lane MXU packing, round 4) —
+    # selected at trace time when the channel block divides down*4
+    resamp_V4: jax.Array | None = None
 
 
 def make_params(config: WidebandConfig) -> WidebandParams:
@@ -85,7 +88,10 @@ def make_params(config: WidebandConfig) -> WidebandParams:
         cutoff_frac=config.resample_cutoff_frac)
     hp = F.make_polyphase(h, config.resample_up)
     V = F.make_aligned_poly_matrix(hp, config.resample_up, config.resample_down)
-    return WidebandParams(jnp.asarray(h_poly), jnp.asarray(W), jnp.asarray(V))
+    V4 = F.make_aligned_poly_matrix(hp, config.resample_up,
+                                    config.resample_down, frames_per_row=4)
+    return WidebandParams(jnp.asarray(h_poly), jnp.asarray(W),
+                          jnp.asarray(V), jnp.asarray(V4))
 
 
 def init_state(config: WidebandConfig, params: WidebandParams) -> WidebandState:
@@ -116,8 +122,11 @@ def demodulate_block(buf: jax.Array, state: WidebandState,
 
     def tail(zr1, zi1, q_re, q_im, hist):
         z, quad = F.quadrature_demod(zr1, zi1, F.QuadState(q_re, q_im))
+        V = (params.resamp_V4
+             if params.resamp_V4 is not None and z.shape[0] % (down * 4) == 0
+             else params.resamp_V)
         audio, rs = F.aligned_resample(
-            z, params.resamp_V, up, down, F.AlignedResampleState(hist))
+            z, V, up, down, F.AlignedResampleState(hist))
         return audio, z, quad, rs
 
     audio, mpx, quads, rss = jax.vmap(tail)(
@@ -134,7 +143,7 @@ def demodulate_block(buf: jax.Array, state: WidebandState,
 
 jax.tree_util.register_pytree_node(
     WidebandParams,
-    lambda p: ((p.h_poly, p.pfb_W, p.resamp_V), None),
+    lambda p: ((p.h_poly, p.pfb_W, p.resamp_V, p.resamp_V4), None),
     lambda _, c: WidebandParams(*c),
 )
 
