@@ -8,10 +8,15 @@ discriminator — inside VMEM, one time-chunk per grid step, with the
 streaming carries (FIR history, discriminator previous sample) living in
 VMEM scratch across the sequential TPU grid.  HBM traffic is the u8 input
 once plus the 6x-decimated discriminator output; Pallas double-buffers the
-input DMA against compute automatically.  The final audio resampler (0.5%
-of the FLOPs) stays in XLA as the aligned frame matmul
-(tpu_sdr.ops.fm.aligned_resample), which Mosaic cannot express without an
-85x128 -> 128x85 relayout.
+input DMA against compute automatically.  The final audio resampler stays
+in XLA as the aligned frame matmul (tpu_sdr.ops.fm.aligned_resample,
+round-4 tuned: HIGH precision + 4-frame N-lane packing + row-view
+windows); a Pallas version exists (resamp_impl='pallas') but measured no
+faster — the epilogue is MXU-pass-bound, not materialization-bound
+(NEXT.md).  Non-default kernel variants (prev_impl='matmul',
+z_impl='i16', rot_impl='select', unpack_impl='scale'/'dcfold_bf16',
+atan_mode variants) are measured negative-or-neutral results kept
+available and equivalence-tested.
 
 Chain semantics mirror the reference ``simple_fm`` data plane
 (/root/reference/examples/simple_fm.rs:256-426) in the FIR-quality form;
