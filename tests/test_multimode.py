@@ -112,3 +112,47 @@ def test_squelch_mutes_noise_only_capture():
     assert np.all(s.demodulate(u8) == 0.0)
     s_off = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm"))
     assert np.any(s_off.demodulate(u8) != 0.0)
+
+
+def test_ssb_fine_tune_corrects_carrier_offset():
+    """A USB signal whose carrier sits +300 Hz off nominal (PLL SDM
+    error) demodulates with every audio tone shifted +300 Hz; with
+    fine_tune_hz=300 the tone lands at its true frequency again."""
+    n = _n_samples(0.4)
+    t = np.arange(n) / FS
+    off = 300.0
+    bb = 0.7 * np.exp(2j * np.pi * (1_000.0 + off) * t)  # offset carrier
+    u8 = _to_u8(bb)
+
+    plain = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb"))
+    tuned = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb",
+                                                    fine_tune_hz=off))
+    a0 = plain.demodulate(u8).astype(np.float64)
+    a1 = tuned.demodulate(u8).astype(np.float64)
+    # without correction the tone appears displaced by the offset
+    snr_displaced = synth.tone_snr(a0, 1_000.0 + off, 32_000, skip=400)
+    assert snr_displaced >= 25.0, f"{snr_displaced:.1f} dB"
+    # with correction the tone is back at 1 kHz...
+    snr_true = synth.tone_snr(a1, 1_000.0, 32_000, skip=400)
+    assert snr_true >= 25.0, f"{snr_true:.1f} dB"
+    # ...and NOT at the displaced frequency
+    p_true = np.mean(a1[400:] ** 2)
+    z = (a1[400:] * np.exp(-2j * np.pi * (1_000.0 + off) / 32_000
+                           * np.arange(400, len(a1)))).mean()
+    assert 2 * abs(z) ** 2 < 0.1 * p_true
+
+
+def test_ssb_fine_tune_streaming_invariance():
+    n = _n_samples(0.3)
+    t = np.arange(n) / FS
+    bb = 0.6 * np.exp(2j * np.pi * 1_150.0 * t)
+    u8 = _to_u8(bb)
+    one = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb",
+                                                  fine_tune_hz=150.0))
+    full = one.demodulate(u8)
+    two = MM.MultimodeStreamer(MM.MultimodeConfig(mode="usb",
+                                                  fine_tune_hz=150.0))
+    cut = (len(u8) // 2) - ((len(u8) // 2) % QUANTUM)
+    split = np.concatenate([two.demodulate(u8[:cut]),
+                            two.demodulate(u8[cut:])])
+    np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)

@@ -45,7 +45,8 @@ def expand_freq_spec(spec: str) -> list[int]:
 
 
 def make_streamer(mode: str, rds: bool = False,
-                  squelch_db: float | None = None):
+                  squelch_db: float | None = None,
+                  fine_tune_hz: float = 0.0):
     if mode == "wbfm":
         from tpu_sdr.models import wbfm
 
@@ -54,8 +55,8 @@ def make_streamer(mode: str, rds: bool = False,
     from tpu_sdr.models import multimode as MM
 
     mm = {"fm": "nbfm", "am": "am", "usb": "usb", "lsb": "lsb"}[mode]
-    return MM.MultimodeStreamer(MM.MultimodeConfig(mode=mm,
-                                                   squelch_db=squelch_db))
+    return MM.MultimodeStreamer(MM.MultimodeConfig(
+        mode=mm, squelch_db=squelch_db, fine_tune_hz=fine_tune_hz))
 
 
 def main(argv=None) -> int:
@@ -92,6 +93,12 @@ def main(argv=None) -> int:
                         "frequency, require N consecutive squelch-closed "
                         "blocks before hopping on (fade tolerance; the "
                         "original's conseq_squelch)")
+    p.add_argument("--fine-tune", dest="fine_tune", type=float, default=0.0,
+                   metavar="HZ",
+                   help="SSB software fine tuning in Hz (signed): moves "
+                        "the carrier below the R82xx PLL's ~kHz SDM step "
+                        "(-M usb|lsb only; every Hz of carrier error "
+                        "shifts the voice pitch by a Hz)")
     p.add_argument("--scan-settle", type=int, default=None, metavar="N",
                    help="scan mode: discard N blocks after each retune "
                         "(default 0 for a local device, whose buffer is "
@@ -117,8 +124,11 @@ def main(argv=None) -> int:
 
     from tpu_sdr.native import f32_to_s16
 
+    if args.fine_tune and args.mode not in ("usb", "lsb"):
+        p.error("--fine-tune applies to the SSB modes (-M usb|lsb)")
     streamer = make_streamer(args.mode, rds=args.rds,
-                             squelch_db=args.squelch_db)
+                             squelch_db=args.squelch_db,
+                             fine_tune_hz=args.fine_tune)
     rds_rx = None
     if args.rds:
         from tpu_sdr.models import rds as rds_mod

@@ -51,6 +51,12 @@ class MultimodeConfig:
     # the reference port dropped along with the -M modes); rtl_fm uses
     # raw linear units, here it is dBFS for sanity.
     squelch_db: float | None = None
+    # SSB fine tuning (Hz, signed): software offset folded into the
+    # sideband-select mixer — the R82xx PLL's SDM step is up to ~1 kHz,
+    # far too coarse for SSB voice (every Hz of error shifts the audio
+    # pitch by a Hz).  USB/LSB only; the FM/AM detectors are offset-
+    # insensitive at that scale.
+    fine_tune_hz: float = 0.0
 
     @property
     def resample_up(self) -> int:
@@ -136,10 +142,15 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
         # [-bw/2, bw/2] (shift by -bw/2); LSB mirrored.  Select it with a
         # sharp LPF at the audio rate (129 taps at 32 kHz: ~1 kHz
         # transition), shift back, take the real part.  Both shifts carry
-        # integer phase indices so blocks stay phase-continuous.
+        # integer phase indices so blocks stay phase-continuous.  The
+        # fine-tune offset rides the FIRST mixer only (it must move the
+        # carrier, not the audio), so the shift-back stays at +-bw/2.
         shift = -config.audio_bw / 2 if config.mode == "usb" else config.audio_bw / 2
+        # rounded to whole Hz: the wrapped phase index (mod rate_out)
+        # keeps blocks phase-continuous only for integer-Hz shifts
+        shift1 = shift - round(config.fine_tune_hz)
         k = state.ssb_phase + jnp.arange(n, dtype=jnp.float32)
-        ph = 2 * np.pi * (shift / config.rate_out) * k
+        ph = 2 * np.pi * (shift1 / config.rate_out) * k
         c, s = jnp.cos(ph), jnp.sin(ph)
         sr = re * c - im * s
         si = re * s + im * c
