@@ -200,6 +200,8 @@ def main(argv=None) -> int:
             return scan_loop(freqs, streamer, tune, read_one, emit,
                              hold=args.scan_hold, max_blocks=args.blocks,
                              settle=settle)
+        except KeyboardInterrupt:
+            return 0
         finally:
             source.close()
 
