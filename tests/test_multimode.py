@@ -156,3 +156,46 @@ def test_ssb_fine_tune_streaming_invariance():
     split = np.concatenate([two.demodulate(u8[:cut]),
                             two.demodulate(u8[cut:])])
     np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)
+
+
+def test_nbfm_deemphasis_rolls_off_highs():
+    """-E deemp parity: the 75 us single-pole de-emphasis attenuates a
+    3 kHz program tone ~4x more than a 300 Hz one (|H| ratio ~11 dB),
+    and streaming stays split-invariant with the IIR carry."""
+    n = _n_samples(0.4)
+
+    def run(audio_freq, tau):
+        u8, _ = synth.synth_wbfm_u8(n, capture_rate=FS,
+                                    audio_freq=audio_freq,
+                                    deviation=5_000.0)
+        s = MM.MultimodeStreamer(MM.MultimodeConfig(
+            mode="nbfm", deemphasis_tau=tau))
+        return s.demodulate(np.asarray(u8, np.uint8)).astype(np.float64)
+
+    def tone_amp(a, f):
+        t = np.arange(400, len(a)) / 32_000
+        return 2 * abs((a[400:] * np.exp(-2j * np.pi * f * t)).mean())
+
+    lo_plain = tone_amp(run(300.0, 0.0), 300.0)
+    hi_plain = tone_amp(run(3_000.0, 0.0), 3_000.0)
+    lo_de = tone_amp(run(300.0, 75e-6), 300.0)
+    hi_de = tone_amp(run(3_000.0, 75e-6), 3_000.0)
+    atten_lo = 20 * np.log10(lo_plain / lo_de)
+    atten_hi = 20 * np.log10(hi_plain / hi_de)
+    # |H(f)| = 1/sqrt(1+(2 pi f tau)^2): ~0.1 dB at 300 Hz, ~4.8 dB at 3 kHz
+    assert atten_lo < 1.5, f"300 Hz attenuated {atten_lo:.1f} dB"
+    assert 3.0 < atten_hi < 8.0, f"3 kHz attenuated {atten_hi:.1f} dB"
+
+    # split invariance with the de-emphasis carry active
+    u8, _ = synth.synth_wbfm_u8(n, capture_rate=FS, audio_freq=1_200.0,
+                                deviation=5_000.0)
+    u8 = np.asarray(u8, np.uint8)
+    one = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm",
+                                                  deemphasis_tau=75e-6))
+    full = one.demodulate(u8)
+    two = MM.MultimodeStreamer(MM.MultimodeConfig(mode="nbfm",
+                                                  deemphasis_tau=75e-6))
+    cut = (len(u8) // 2) - ((len(u8) // 2) % QUANTUM)
+    split = np.concatenate([two.demodulate(u8[:cut]),
+                            two.demodulate(u8[cut:])])
+    np.testing.assert_allclose(split, full, rtol=1e-4, atol=1e-5)

@@ -46,7 +46,7 @@ def expand_freq_spec(spec: str) -> list[int]:
 
 def make_streamer(mode: str, rds: bool = False,
                   squelch_db: float | None = None,
-                  fine_tune_hz: float = 0.0):
+                  fine_tune_hz: float = 0.0, deemph_us: float = 0.0):
     if mode == "wbfm":
         from tpu_sdr.models import wbfm
 
@@ -56,7 +56,8 @@ def make_streamer(mode: str, rds: bool = False,
 
     mm = {"fm": "nbfm", "am": "am", "usb": "usb", "lsb": "lsb"}[mode]
     return MM.MultimodeStreamer(MM.MultimodeConfig(
-        mode=mm, squelch_db=squelch_db, fine_tune_hz=fine_tune_hz))
+        mode=mm, squelch_db=squelch_db, fine_tune_hz=fine_tune_hz,
+        deemphasis_tau=deemph_us * 1e-6))
 
 
 def main(argv=None) -> int:
@@ -93,6 +94,12 @@ def main(argv=None) -> int:
                         "frequency, require N consecutive squelch-closed "
                         "blocks before hopping on (fade tolerance; the "
                         "original's conseq_squelch)")
+    p.add_argument("--deemph", dest="deemph_us", type=float, default=0.0,
+                   metavar="US",
+                   help="narrow-FM de-emphasis time constant in "
+                        "microseconds (the original rtl_fm's -E deemp; "
+                        "75 in the Americas, 50 elsewhere; 0 = off; "
+                        "-M fm only)")
     p.add_argument("--fine-tune", dest="fine_tune", type=float, default=0.0,
                    metavar="HZ",
                    help="SSB software fine tuning in Hz (signed): moves "
@@ -126,9 +133,12 @@ def main(argv=None) -> int:
 
     if args.fine_tune and args.mode not in ("usb", "lsb"):
         p.error("--fine-tune applies to the SSB modes (-M usb|lsb)")
+    if args.deemph_us and args.mode != "fm":
+        p.error("--deemph applies to narrow FM (-M fm)")
     streamer = make_streamer(args.mode, rds=args.rds,
                              squelch_db=args.squelch_db,
-                             fine_tune_hz=args.fine_tune)
+                             fine_tune_hz=args.fine_tune,
+                             deemph_us=args.deemph_us)
     rds_rx = None
     if args.rds:
         from tpu_sdr.models import rds as rds_mod

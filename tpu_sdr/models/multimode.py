@@ -57,6 +57,10 @@ class MultimodeConfig:
     # pitch by a Hz).  USB/LSB only; the FM/AM detectors are offset-
     # insensitive at that scale.
     fine_tune_hz: float = 0.0
+    # NBFM de-emphasis time constant in seconds (the original rtl_fm's
+    # `-E deemp`; 0 disables).  Applied at the audio rate after the
+    # resampler, matching rtl_fm's deemph_filter placement.
+    deemphasis_tau: float = 0.0
 
     @property
     def resample_up(self) -> int:
@@ -76,6 +80,7 @@ class MultimodeState(NamedTuple):
     resamp_q: F.AlignedResampleState   # SSB Q resampler
     ssb_phase: jax.Array   # shift phase index at rate_out
     ssb_phase2: jax.Array  # shift-back phase index at rate_resample
+    deemph: F.DeemphState = F.DeemphState(jnp.float32(0.0))
 
 
 @dataclass
@@ -116,7 +121,7 @@ def init_state(config: MultimodeConfig) -> MultimodeState:
         F.quad_init(),
         F.aligned_resample_init(config.resample_taps_per_phase),
         F.aligned_resample_init(config.resample_taps_per_phase),
-        jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), F.deemph_init(),
     )
 
 
@@ -170,7 +175,8 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
         power = _channel_power(sr32, si32)
         audio = _squelch(audio, power, config)
         return audio, power, MultimodeState(rot, fir, chan, quad, rs, rs_q,
-                                            ssb_phase, ssb_phase2)
+                                            ssb_phase, ssb_phase2,
+                                            state.deemph)
 
     re, im, chan = F.fir_decimate_mxu(re, im, params.chan_W,
                                       config.channel_taps, 1, state.chan)
@@ -184,10 +190,15 @@ def demodulate_block(buf: jax.Array, state: MultimodeState,
 
     audio, rs = F.aligned_resample(audio_ch, params.resamp_V, up, down,
                                    state.resamp)
+    deemph = state.deemph
+    if config.mode == "nbfm" and config.deemphasis_tau > 0:
+        alpha = F.deemph_alpha(config.rate_resample, config.deemphasis_tau)
+        audio, deemph = F.deemphasis(audio, alpha, state.deemph)
     power = _channel_power(re, im)
     audio = _squelch(audio, power, config)
     return audio, power, MultimodeState(rot, fir, chan, quad, rs,
-                                        state.resamp_q, ssb_phase, ssb_phase2)
+                                        state.resamp_q, ssb_phase, ssb_phase2,
+                                        deemph)
 
 
 def _channel_power(ch_re, ch_im):
