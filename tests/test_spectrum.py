@@ -189,7 +189,11 @@ def test_rtl_power_over_rtl_tcp():
             [(f_st, 1_000.0, 40_000.0)], noise_std=0.003)))
     sdr = api.RtlSdr.open_with_index(0)
     sdr.set_sample_rate(rate)
-    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=2)
+    # queue_limit=1 + --settle 6: the infinite-rate fake keeps its queue
+    # full, so each hop's first reads lag by queue + sender-in-flight +
+    # socket buffers; the settle must provably exceed that (real-time
+    # servers drained by a keeping-up client lag ~0-1, the default 1)
+    srv = RtlTcpServer(sdr, "127.0.0.1", 0, queue_limit=1)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     deadline = time.time() + 5
@@ -200,6 +204,7 @@ def test_rtl_power_over_rtl_tcp():
         low, high = 94_400_000, 94_400_000 + 2 * rate
         rc, text = _run_capture_text(
             main, ["-f", f"{low}:{high}:8k", "-s", str(rate), "-b", "2",
+                   "--settle", "6",
                    "--tcp", f"127.0.0.1:{srv.bound_port}"])
     finally:
         srv.stop()
