@@ -260,6 +260,7 @@ def scan_loop(freqs: list[int], streamer, tune, read_one, emit,
         log.info("scan: %d Hz", freq)
         heard = False
         closed_run = 0
+        seen = streamer.n_measurements
         while True:
             block = read_one()
             if block is None:
@@ -267,6 +268,14 @@ def scan_loop(freqs: list[int], streamer, tune, read_one, emit,
                 return 0
             emit(np.frombuffer(block, dtype=np.uint8))
             done += 1
+            if streamer.n_measurements == seen:
+                # sub-quantum block: no new squelch measurement — the
+                # observables are stale (init True after reset), so they
+                # must not drive a hop decision
+                if max_blocks and done >= max_blocks:
+                    return 0
+                continue
+            seen = streamer.n_measurements
             if streamer.last_squelch_open:
                 if not heard:
                     log.info("scan: signal at %d Hz (%.1f dBFS)", freq,

@@ -48,15 +48,17 @@ def fft_size_for(rate: int, step: int, max_fft: int = 1 << 15) -> int:
     return n
 
 
-# Keep the center 80% of each hop's bins: the outer bins sit in the
-# tuner/anti-alias rolloff at the hop edges and bias readings on real
-# hardware, so hops overlap by 20% of fs (osmocom rtl_power crops the
-# same way).
+# Keep the center 80% of each hop's bins by default: the outer bins sit
+# in the tuner/anti-alias rolloff at the hop edges and bias readings on
+# real hardware, so hops overlap by 20% of fs.  osmocom rtl_power's crop
+# is opt-in (-c, default 0%); ``--crop 0`` restores that full-fs
+# single-hop behavior.
 HOP_CROP = 0.8
 
 
-def hop_centers(low: int, high: int, rate: int) -> list[int]:
-    usable = int(rate * HOP_CROP)
+def hop_centers(low: int, high: int, rate: int,
+                keep: float = HOP_CROP) -> list[int]:
+    usable = int(rate * keep)
     centers = []
     c = low + usable // 2
     while c - usable // 2 < high:
@@ -103,6 +105,11 @@ def main(argv=None) -> int:
                    help="scan a REMOTE dongle over the rtl_tcp protocol "
                         "instead of a local device (hops ride the "
                         "command channel)")
+    p.add_argument("-c", "--crop", type=float, default=20.0, metavar="PCT",
+                   help="discard this percent of each hop's bins at the "
+                        "band edges (tuner rolloff); hops overlap to "
+                        "cover the gap.  0 disables cropping "
+                        "(osmocom's default).  Default 20")
     p.add_argument("--settle", type=int, default=None, metavar="N",
                    help="discard N blocks after each hop (default 0 for "
                         "a local device, whose buffer is reset; 1 for "
@@ -178,8 +185,9 @@ def main(argv=None) -> int:
                 close = sdr.close
                 if settle is None:
                     settle = 0
+            keep = 1.0 - max(0.0, min(90.0, args.crop)) / 100.0
             try:
-                centers = hop_centers(low, high, rate)
+                centers = hop_centers(low, high, rate, keep)
                 print(f"Scanning {len(centers)} hop(s), FFT {n_fft}, "
                       f"bin {rate / n_fft:.0f} Hz", file=sys.stderr)
                 import numpy as np
@@ -201,7 +209,7 @@ def main(argv=None) -> int:
                                 ps.accumulate(
                                     np.frombuffer(data, np.uint8))
                             rows += _emit(out, center, low, high, rate,
-                                          n_fft, ps)
+                                          n_fft, ps, crop=keep)
                         done += 1
                         out.flush()
                 except KeyboardInterrupt:

@@ -232,9 +232,13 @@ class MultimodeStreamer:
         self.state = init_state(self.config)
         self._quantum = 2 * self.config.decim * self.config.resample_down
         self._pending = np.zeros(0, dtype=np.uint8)
-        # squelch observables for the host (rtl_fm scan-mode hop decisions)
+        # squelch observables for the host (rtl_fm scan-mode hop decisions).
+        # n_measurements counts demodulate() calls that consumed >= one
+        # quantum: last_power/last_squelch_open are only meaningful when it
+        # advanced (a sub-quantum call leaves them stale).
         self.last_power: float | None = None
         self.last_squelch_open: bool = True
+        self.n_measurements: int = 0
 
     def demodulate(self, buf: np.ndarray) -> np.ndarray:
         data = np.concatenate([self._pending, np.asarray(buf, np.uint8)])
@@ -248,6 +252,7 @@ class MultimodeStreamer:
         self.last_squelch_open = (
             self.config.squelch_db is None
             or self.last_power > 10.0 ** (self.config.squelch_db / 10.0))
+        self.n_measurements += 1
         return np.asarray(audio)
 
     def reset(self) -> None:
@@ -257,3 +262,4 @@ class MultimodeStreamer:
         self._pending = np.zeros(0, dtype=np.uint8)
         self.last_power = None
         self.last_squelch_open = True
+        self.n_measurements = 0

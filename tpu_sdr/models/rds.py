@@ -141,8 +141,11 @@ def baseband_block(y: jax.Array, state: RdsState, params: RdsParams,
     x57, bpf_s = _fir1(y, params.W_s, ts, state.bpf_s)
     prod = 2.0 * x57 * c57
     b, lpf = _fir1(prod, params.W_lp, tl, state.lpf)
+    # HIGHEST: bitstream recovery — keep full matmul precision here (the
+    # HIGH default was A/B-justified only for the wbfm audio epilogue).
     b152, rs = F.aligned_resample(b, params.resamp_V, config.resample_up,
-                                  config.resample_down, state.resamp)
+                                  config.resample_down, state.resamp,
+                                  precision=jax.lax.Precision.HIGHEST)
     return b152, amp, RdsState(bpf_p, bpf_s, lpf, rs)
 
 

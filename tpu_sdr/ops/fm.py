@@ -338,10 +338,16 @@ def aligned_resample_init(T: int) -> AlignedResampleState:
 
 
 def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
-                     state: AlignedResampleState):
+                     state: AlignedResampleState,
+                     precision: lax.Precision = lax.Precision.HIGH):
     """Frame-matmul resampler: ``x`` length must be a multiple of the
     frame span (``down`` times V's frames-per-row packing); emits exactly
-    ``len(x)//down * up`` samples."""
+    ``len(x)//down * up`` samples.
+
+    ``precision`` applies to the frame matmul.  HIGH (3 bf16 passes,
+    ~2^-21 relative, >=120 dB audio) is the measured-right default for
+    the wbfm epilogue; accuracy-critical callers (e.g. RDS bitstream
+    recovery) may pass HIGHEST."""
     F_ = V.shape[1] // up  # frames packed per matmul row (N-lane packing)
     span = down * F_
     Tm1 = V.shape[0] - span
@@ -372,7 +378,7 @@ def aligned_resample(x: jax.Array, V: jax.Array, up: int, down: int,
         # HIGHEST (6 passes) measured 6.6% of the WHOLE fused path on
         # TPU (0.227 -> 0.212 ms/block, round-4 interleaved A/B) for
         # accuracy nothing downstream can observe.
-        precision=lax.Precision.HIGH,
+        precision=precision,
     )  # (R, up*F)
     return y.reshape(R * up * F_), new_state
 

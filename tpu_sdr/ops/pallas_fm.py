@@ -493,14 +493,23 @@ def default_spec(config=None, chunks_per_step: int = 1) -> PallasWbfmSpec:
     return spec
 
 
-def make_kernel_params(config=None, prev_impl: str = "shift"):
+def make_kernel_params(config=None, prev_impl: str = "shift",
+                       frames_per_row: int = 4):
     """(W_hi, W_lo, V) device arrays for the fused chain.
 
     ``prev_impl='matmul'``: the weight pair is the stacked ``[W_y |
     W_prev]`` (row_len+decim, 256) banded matrix — column block 0 is the
     decimator shifted down ``decim`` rows (frames carry ``decim`` extra
     history columns), block 1 the same band one decimated sample earlier,
-    so ONE dot emits both the FIR output and its one-sample delay."""
+    so ONE dot emits both the FIR output and its one-sample delay.
+
+    ``frames_per_row`` packs that many resampler frames per matmul row
+    (N = frames_per_row*up MXU lanes).  It tightens the per-call block
+    contract of demodulate_fused/_batch to multiples of
+    ``down*frames_per_row`` discriminator samples; the kernel's own
+    chunks (rows*128 = 32*340 z samples) always satisfy the default 4.
+    External callers with custom chunk geometry that is only a multiple
+    of ``down`` should pass ``frames_per_row=1``."""
     from tpu_sdr.models import wbfm as M
     from tpu_sdr.utils import firdes
 
@@ -531,7 +540,7 @@ def make_kernel_params(config=None, prev_impl: str = "shift"):
     # streamer quantum only guarantees multiples of down).
     V = jnp.asarray(F.make_aligned_poly_matrix(
         h_poly, config.resample_up, config.resample_down,
-        frames_per_row=4))
+        frames_per_row=frames_per_row))
     return W_hi, W_lo, V
 
 
@@ -654,6 +663,12 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
     of the first sample.  ``state``: (4, 128) f32 kernel carry
     (:func:`pack_state`); ``resamp_hist``: (T-1,) f32 resampler history.
     Returns (audio (nchunks*128*up,), new_state, new_resamp_hist).
+
+    Block contract: the per-call discriminator sample count
+    (nchunks*rows*128) must divide by ``down * frames_per_row`` of the
+    ``v`` built by :func:`make_kernel_params` (default packing 4; the
+    resampler asserts this at trace time).  Standard kernel chunks
+    (rows=32 -> 4096 z/chunk) satisfy it for any ``down`` <= 1024.
     """
     z, new_states = _front_pallas(
         data_i16[None], phase, state[None], w_hi, w_lo, spec, atan_mode,
