@@ -1,31 +1,45 @@
-"""Halo-exchange overhead on ONE chip -> projected multi-chip efficiency.
+"""Halo-exchange overhead + sharded-vs-unsharded step cost on ONE chip.
 
 Real N>=2 ICI scaling is environment-blocked (one chip behind a tunnel);
 the CPU virtual mesh proves exactness but its timing is meaningless (8
 devices share 2 host cores — SCALING_r03's 0.11 "efficiency").  What IS
-measurable on one chip: the cost of the halo exchange itself, via the
-degenerate self-ring — ``make_async_remote_copy`` addressed to self
-compiles and EXECUTES the same Mosaic remote-DMA program a real ring
-runs, minus the ICI wire time (~1 us/hop on v5e, noted in provenance).
+measurable on one chip:
 
-Method: two sharded chains at the production per-chip geometry
-(12.5M complex per step, the bench.py block) on a (dp=1, sp=1) mesh,
-identical except for the carry-halo exchange:
+1. the cost of the halo exchange itself, via the degenerate self-ring —
+   ``make_async_remote_copy`` addressed to self compiles and EXECUTES the
+   same Mosaic remote-DMA program a real ring runs, minus the ICI wire
+   time (~1 us/hop on v5e, noted in provenance);
+2. the cost of the sharded FORM itself: the same production geometry
+   through the unsharded fused chain, interleaved in the same process —
+   ``sharded_overhead_ratio = step(none) / step(unsharded)`` is the
+   factor an N-chip projection must apply to the single-chip headline
+   (round-4 VERDICT: the old harness hid a 3x gap here because its
+   anti-LICM input perturbation copied the whole 25 MB block every scan
+   step).
+
+Method: three chains at the production per-chip geometry (12.5M complex
+per step, the bench.py block) on a (dp=1, sp=1) mesh:
 
 * ``halo_impl='dma'``  — remote-DMA halo kernel forced (self-ring),
-* ``halo_impl='none'`` — exchange skipped (valid on sp=1; same output).
+* ``halo_impl='none'`` — exchange skipped (valid on sp=1; same output),
+* ``unsharded``        — ``pallas_fm.demodulate_fused`` (the bench.py
+                         headline path) at the identical kernel geometry.
 
-Each is timed with bench.py's scan-differenced discipline (the iteration
-loop inside one jitted ``lax.scan``, a 1-element input perturbation
-threading the carry so loop-invariant code motion cannot hoist the
-chain).  ``halo_us = step(dma) - step(none)`` isolates the exchange.
+All three thread their natural streaming carry through the scan (the
+sharded chains via ``carry_io=True`` block-to-block carries, the serial
+chain via its kernel state) — a real loop dependency, so nothing is
+LICM-hoisted and no artificial input copy is timed.  Each leg is timed
+with bench.py's scan-differenced discipline; legs are INTERLEAVED per
+rep so tunnel phases hit all three equally.
+
+``halo_us = step(dma) - step(none)`` isolates the exchange.
 
 Projection (weak scaling, one station row per chip, ring halos):
 per-chip step time at N>=2 is ``C + 2*halo_us`` — the carry DMA plus the
 resampler's (smaller) demod-halo exchange, both N-independent neighbor
-permutes — so efficiency is flat in N.  Reported at the measured compute
-time and, conservatively, at the bench headline rate (faster compute
-makes fixed overhead loom larger).
+permutes — so efficiency is flat in N.  C is the SHARDED per-chip step
+(step_none), not the unsharded headline; the ratio between the two is
+reported explicitly instead of being assumed 1.
 
 Emits SCALING_r{N}.json-style provenance with --out.
 """
@@ -59,7 +73,8 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
     from tpu_sdr.models import wbfm
     from tpu_sdr.ops import pallas_fm
     from tpu_sdr.parallel import mesh as mesh_mod
-    from tpu_sdr.parallel.wbfm_sharded_pallas import make_sharded_wbfm_pallas
+    from tpu_sdr.parallel.wbfm_sharded_pallas import (
+        initial_carry, make_sharded_wbfm_pallas)
 
     assert jax.default_backend() == "tpu", "halo overhead needs the real chip"
     spec = pallas_fm.default_spec(chunks_per_step=CHUNKS_PER_STEP)
@@ -71,71 +86,105 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
     host = rng.integers(0, 256, 2 * n_loc, dtype=np.uint8)
     x = jax.device_put(host.view("<i2").reshape(1, n_loc))
 
-    def make_run(halo_impl: str):
+    def make_run_sharded(halo_impl: str):
         chain = make_sharded_wbfm_pallas(mesh, config, halo_impl=halo_impl,
-                                         chunks_per_step=CHUNKS_PER_STEP)
+                                         chunks_per_step=CHUNKS_PER_STEP,
+                                         carry_io=True)
+        ke0, re0 = initial_carry(1, config)
 
         @partial(jax.jit, static_argnames=("n",))
-        def run_n(xin, n):
+        def run_n(ke, re, n):
             def body(carry, _):
-                acc, bump = carry
-                xi = xin.at[0, 0].add(bump)  # defeats LICM hoisting
-                audio, counts = chain.fn(xi)
-                acc2 = acc + jnp.sum(audio)
-                # value is always 0 (audio sums are O(1)), but the
-                # compiler cannot prove it: real loop-carried dependency
-                bump2 = (acc2 * jnp.float32(1e-30)).astype(jnp.int16)
-                return (acc2, bump2), ()
+                k, r, acc = carry
+                audio, _counts, k2, r2 = chain.fn(x, k, r)
+                return (k2, r2, acc + jnp.sum(audio)), ()
 
-            (acc, _), _ = lax.scan(
-                body, (jnp.float32(0), jnp.int16(0)), None, length=n)
+            (_, _, acc), _ = lax.scan(
+                body, (ke, re, jnp.float32(0)), None, length=n)
             return acc
 
         def run(n: int) -> float:
             t0 = _t.perf_counter()
-            float(run_n(x, n))
+            float(run_n(ke0, re0, n))
             return _t.perf_counter() - t0
 
         return run
 
-    run_dma = make_run("dma")
-    run_none = make_run("none")
-    # compile both legs before any timing
-    run_dma(2)
-    run_none(2)
+    def make_run_unsharded():
+        d16 = jax.device_put(pallas_fm.view_u8_as_i16(host, spec))
+        w_hi, w_lo, v = pallas_fm.make_kernel_params(config)
+        phase = jnp.asarray([0], jnp.int32)
+        state0 = jnp.zeros((pallas_fm.STATE_ROWS, 128),
+                           jnp.float32).at[2, 127].set(1.0)
+        rh0 = jnp.zeros(spec.taps_per_phase - 1, jnp.float32)
 
-    # INTERLEAVED reps: tunnel phase throttling hits both legs equally,
-    # so the {dma - none} difference stays clean even in a dirty phase.
-    ts_d, tl_d, ts_n, tl_n, halo_ests = [], [], [], [], []
+        @partial(jax.jit, static_argnames=("n",))
+        def run_n(state, rh, n):
+            def body(carry, _):
+                s, r, acc = carry
+                audio, s2, r2 = pallas_fm.demodulate_fused(
+                    d16, phase, s, r, w_hi, w_lo, v, spec)
+                return (s2, r2, acc + jnp.sum(audio)), ()
+
+            (_, _, acc), _ = lax.scan(
+                body, (state0, rh0, jnp.float32(0)), None, length=n)
+            return acc
+
+        def run(n: int) -> float:
+            t0 = _t.perf_counter()
+            float(run_n(state0, rh0, n))
+            return _t.perf_counter() - t0
+
+        return run
+
+    runs = {
+        "dma": make_run_sharded("dma"),
+        "none": make_run_sharded("none"),
+        "unsharded": make_run_unsharded(),
+    }
+    for r in runs.values():  # compile every leg before any timing
+        r(2)
+
+    # INTERLEAVED reps: tunnel phase throttling hits all legs equally, so
+    # leg DIFFERENCES and RATIOS stay clean even in a dirty phase.
+    ts = {k: [] for k in runs}
+    tl = {k: [] for k in runs}
+    halo_ests, ratio_ests = [], []
     for _ in range(reps):
-        ts_d.append(run_dma(n_short))
-        ts_n.append(run_none(n_short))
-        tl_d.append(run_dma(n_long))
-        tl_n.append(run_none(n_long))
+        step = {}
+        for k, r in runs.items():
+            ts[k].append(r(n_short))
+            tl[k].append(r(n_long))
+            step[k] = (tl[k][-1] - ts[k][-1]) / (n_long - n_short)
         # doubly-differenced per-rep estimator: the long-run leg delta
         # minus the short-run leg delta isolates the PER-STEP halo cost,
         # cancelling both fixed dispatch costs and the rep's phase (all
-        # four runs sit seconds apart)
-        halo_ests.append(((tl_d[-1] - tl_n[-1]) - (ts_d[-1] - ts_n[-1]))
+        # runs of a rep sit seconds apart)
+        halo_ests.append(((tl["dma"][-1] - tl["none"][-1])
+                          - (ts["dma"][-1] - ts["none"][-1]))
                          / (n_long - n_short))
+        if step["unsharded"] > 0:
+            ratio_ests.append(step["none"] / step["unsharded"])
 
-    def leg(ts, tl):
-        d = (min(tl) - min(ts)) / (n_long - n_short)
-        if d > 0 and (min(tl) - min(ts)) >= min(ts):
+    def leg(k):
+        d = (min(tl[k]) - min(ts[k])) / (n_long - n_short)
+        if d > 0 and (min(tl[k]) - min(ts[k])) >= min(ts[k]):
             return d, "differenced"
-        return min(tl) / n_long, "upper_bound"
+        return min(tl[k]) / n_long, "upper_bound"
 
-    t_dma, flag_dma = leg(ts_d, tl_d)
-    t_none, flag_none = leg(ts_n, tl_n)
+    t_dma, flag_dma = leg("dma")
+    t_none, flag_none = leg("none")
+    t_uns, flag_uns = leg("unsharded")
     halo_s = max(0.0, float(np.median(halo_ests)))
     # conservative bound: when the halo cost is below measurement noise
     # (median ~0), project efficiency from the noise floor itself —
     # median |delta| is robust to single throttle-spike outliers
     halo_bound_s = max(halo_s, float(np.median(np.abs(halo_ests))))
+    ratio = float(np.median(ratio_ests)) if ratio_ests else None
 
-    # conservative compute time: the headline single-chip rate applied to
-    # this shard (bench.py round-4 clean-phase ~78.7 Gsps)
-    msps_bench = 78_743.0
+    # conservative compute time: the per-chip SHARDED step at the bench
+    # headline's samples/s (fast compute makes fixed overhead loom larger)
+    msps_bench = 70_168.0  # BENCH_r04.json driver artifact (differenced)
     c_bench = n_loc / (msps_bench * 1e6)
     overhead = 2.0 * halo_bound_s  # carry DMA + resampler halo permute
 
@@ -150,11 +199,19 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
                      "mesh": "dp=1,sp=1 self-ring"},
         "step_none_us": round(t_none * 1e6, 1),
         "step_dma_us": round(t_dma * 1e6, 1),
+        "step_unsharded_us": round(t_uns * 1e6, 1),
+        "sharded_overhead_ratio": (round(ratio, 3)
+                                   if ratio is not None else None),
+        "sharded_overhead_ratio_reps": [round(r, 3) for r in ratio_ests],
         "halo_us": round(halo_s * 1e6, 1),
         "halo_us_bound": round(halo_bound_s * 1e6, 1),
         "halo_us_reps": [round(h * 1e6, 1) for h in halo_ests],
         "timing": {"dma": flag_dma, "none": flag_none,
-                   "halo": "median of per-rep doubly-differenced deltas"},
+                   "unsharded": flag_uns,
+                   "loop_dependency": "streaming carry (carry_io), "
+                                      "no input perturbation",
+                   "halo": "median of per-rep doubly-differenced deltas",
+                   "ratio": "median of per-rep interleaved step ratios"},
         "projected_efficiency": {
             "at_measured_step": {str(n): eff(t_none) for n in (2, 4, 8)},
             "at_bench_headline_rate": {str(n): eff(c_bench)
@@ -165,16 +222,21 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
                  "ICI wire latency (~1 us/hop on v5e).  Efficiency is "
                  "N-independent for neighbor-ring halos; x2 counts the "
                  "carry DMA plus the (smaller) resampler halo permute.  "
-                 "CPU virtual-mesh exactness lives in tests/; its timing "
-                 "harness (bench_scaling.py) is a plumbing check only."),
+                 "sharded_overhead_ratio is the per-chip step cost of the "
+                 "sharded form vs the unsharded headline path at the SAME "
+                 "geometry — multiply the headline by its inverse before "
+                 "projecting N-chip throughput.  CPU virtual-mesh "
+                 "exactness lives in tests/; its timing harness "
+                 "(bench_scaling.py) is a plumbing check only."),
     }
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
+    p.add_argument("--reps", type=int, default=4)
     args = p.parse_args(argv)
-    r = measure()
+    r = measure(reps=args.reps)
     line = json.dumps(r)
     print(line)
     if args.out:

@@ -51,6 +51,45 @@ def test_sharded_pallas_matches_serial(dp, sp):
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("dp,sp", [(1, 4), (2, 2)])
+def test_sharded_pallas_carry_io_streams_across_blocks(dp, sp):
+    """carry_io=True: successive blocks through the sharded chain, each
+    seeded with the previous block's end carries, must match ONE serial
+    streamer run over the whole concatenated stream — the sharded chain's
+    (carry, block) discipline (round-5 feature; without it every block
+    restarted the stream)."""
+    from tpu_sdr.parallel.wbfm_sharded_pallas import (
+        initial_carry, view_blocks_as_i16)
+    import jax
+
+    stations = 2 * dp
+    n_complex = sp * CHUNK_C
+    rng = np.random.default_rng(17)
+    blocks = [rng.integers(0, 256, (stations, 2 * n_complex),
+                           dtype=np.uint8) for _ in range(2)]
+
+    mesh = mesh_mod.make_mesh(dp=dp, sp=sp)
+    config = wbfm.WbfmConfig(filter_mode="fir")
+    chain = make_sharded_wbfm_pallas(mesh, config, interpret=True,
+                                     carry_io=True)
+    ke, re = initial_carry(stations, config)
+    got_parts = []
+    for b in blocks:
+        x = jax.device_put(view_blocks_as_i16(b), chain.in_sharding)
+        audio, counts, ke, re = chain.fn(x, ke, re)
+        got_parts.append(chain.assemble(audio, counts))
+    got = np.concatenate(got_parts, axis=1)
+
+    # serial streaming reference: one streamer per station over BOTH blocks
+    exp = []
+    for s in range(stations):
+        st = pallas_fm.PallasWbfmStreamer(interpret=True)
+        exp.append(np.concatenate([st.demodulate(b[s]) for b in blocks]))
+    exp = np.stack(exp)
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_pallas_dma_halo_matches_ppermute():
     """The remote-DMA halo (pallas_halo, forced + interpreted here) must
     produce the same assembled audio as the ppermute halo on a 2-D mesh —

@@ -149,7 +149,8 @@ def _cdiv_traced(a, b):
     return (a + b - 1) // b
 
 
-def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
+def resample_shard(demod, config: WbfmConfig, params, axis_name: str,
+                   left_edge=None):
     """Per-shard audio resampler with global-phase closed forms.
 
     ``demod``: (stations_loc, n_out) discriminator output for this time
@@ -157,6 +158,10 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
     ``(audio (stations_loc, m_max), count (1,))`` — emission counts are
     data-independent functions of the global shard offset, so shapes stay
     static.  Shared by the XLA and Pallas sharded front-ends.
+
+    ``left_edge``: optional (stations_loc, halo) demod history injected as
+    shard 0's halo — the previous block's global tail, for block-to-block
+    streaming continuity (zeros = fresh stream, the legacy behavior).
     """
     st, n_out = demod.shape
     fast, slow = config.rate_out, config.rate_resample
@@ -192,7 +197,9 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
                 V = params.resamp_V4
             else:
                 V = params.resamp_V
-            halo = pull_left_halo(demod.T, T - 1, axis_name).T
+            halo = pull_left_halo(
+                demod.T, T - 1, axis_name,
+                left_edge=None if left_edge is None else left_edge.T).T
         m_frames = n_out // down
         count = jnp.int32(m_frames * up)
         audio = jax.vmap(
@@ -204,7 +211,9 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
     if config.filter_mode == "boxcar":
         halo_len = _cdiv(fast, slow)
         m_max = (n_out * slow) // fast + 1
-        halo = pull_left_halo(demod.T, halo_len, axis_name).T
+        halo = pull_left_halo(
+            demod.T, halo_len, axis_name,
+            left_edge=None if left_edge is None else left_edge.T).T
         buf = jnp.concatenate([halo, demod], axis=1)
         cs = jnp.cumsum(buf, axis=1)
 
@@ -221,7 +230,9 @@ def resample_shard(demod, config: WbfmConfig, params, axis_name: str):
     else:
         halo_len = T - 1
         m_max = (n_out * up) // down + 1
-        halo = pull_left_halo(demod.T, halo_len, axis_name).T
+        halo = pull_left_halo(
+            demod.T, halo_len, axis_name,
+            left_edge=None if left_edge is None else left_edge.T).T
         buf = jnp.concatenate([halo, demod], axis=1)
 
         j0 = _cdiv_traced(start * up, down)

@@ -64,7 +64,8 @@ def _decode_rotate_tail(d16_tail: jax.Array) -> tuple[jax.Array, jax.Array]:
 def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
                              interpret: bool | None = None,
                              halo_impl: str = "auto",
-                             chunks_per_step: int | None = None) -> ShardedWbfm:
+                             chunks_per_step: int | None = None,
+                             carry_io: bool = False) -> ShardedWbfm:
     """Build the jitted Pallas-front-end sharded chain for ('dp','sp').
 
     ``interpret``: run the fused kernel under the Pallas interpreter;
@@ -76,6 +77,16 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
     ONLY on a 1-shard sp axis (where the left halo IS the edge) and
     exists so the halo-overhead benchmark can difference {dma, none} on
     one chip (benchmarks/bench_halo_overhead.py).
+    ``carry_io``: block-to-block streaming.  The jitted fn becomes
+    ``fn(x, kernel_edge, rs_edge) -> (audio, counts, kernel_end, rs_end)``
+    where ``kernel_edge`` (stations, STATE_ROWS, 128) seeds shard 0's
+    kernel state, ``rs_edge`` (stations, T-1) seeds shard 0's resampler
+    halo, and the ``*_end`` outputs are the LAST time shard's end-of-block
+    values — feed them back as the next block's edges and the sharded
+    chain is sample-exact with one serial stream across blocks (the same
+    ``(carry, block)`` discipline as every serial streamer; emission
+    phase continuity is automatic because shard lengths are multiples of
+    ``down``).  Use :func:`initial_carry` for a fresh stream.
     """
     config = config or WbfmConfig(filter_mode="fir")
     assert config.filter_mode == "fir", "pallas front-end is FIR-mode only"
@@ -98,8 +109,9 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
 
     taps_rev = jnp.asarray(np.asarray(params.decim_taps)[::-1].copy())
     ROWS = pallas_fm.STATE_ROWS
+    T = config.resample_taps_per_phase
 
-    def shard_fn(d16_loc):
+    def shard_fn(d16_loc, kernel_edge=None, rs_edge=None):
         """d16_loc: int16 (stations_loc, n_loc) — one complex per element."""
         st, n_loc = d16_loc.shape
         assert n_loc % spec.chunk_complex == 0, (
@@ -120,8 +132,13 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
             rim_t[:, w0:w0 + L] @ taps_rev / 255.0)
 
         # --- one halo exchange ships the whole carry block right ----------
-        # Global left edge: zero history, discriminator prev = 1 + 0j.
-        edge = jnp.zeros((st, ROWS, 128), jnp.float32).at[:, 2, 127].set(1.0)
+        # Global left edge: the injected streaming carry, or the fresh
+        # stream init (zero history, discriminator prev = 1 + 0j).
+        if kernel_edge is None:
+            edge = jnp.zeros((st, ROWS, 128),
+                             jnp.float32).at[:, 2, 127].set(1.0)
+        else:
+            edge = kernel_edge
         flat = end_state.reshape(-1)
         if halo_impl == "none":
             recv = edge.reshape(-1) + 0.0 * flat[:1]  # keep carry traced
@@ -145,12 +162,31 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
             data, phases, states, w_hi, w_lo, spec, "poly6", interpret)
         demod = z.reshape(st, n_loc // spec.decim)
 
-        return resample_shard(demod, config, params, "sp")
+        if not carry_io:
+            return resample_shard(demod, config, params, "sp")
+        audio, counts = resample_shard(demod, config, params, "sp",
+                                       left_edge=rs_edge)
+        # End-of-block carries: the LAST time shard's end state + demod
+        # tail, broadcast to every sp rank (psum of a one-hot mask — on
+        # real hardware a single tiny all-reduce riding ICI).
+        last = (jax.lax.axis_index("sp")
+                == mesh.shape["sp"] - 1).astype(jnp.float32)
+        kernel_end = jax.lax.psum(end_state * last, "sp")
+        rs_end = jax.lax.psum(demod[:, n_loc // spec.decim - (T - 1):]
+                              * last, "sp")
+        return audio, counts, kernel_end, rs_end
 
+    if carry_io:
+        in_specs = (P("dp", "sp"), P("dp", None, None), P("dp", None))
+        out_specs = (P("dp", "sp"), P("sp"), P("dp", None, None),
+                     P("dp", None))
+    else:
+        in_specs = P("dp", "sp")
+        out_specs = (P("dp", "sp"), P("sp"))
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=P("dp", "sp"),
-        out_specs=(P("dp", "sp"), P("sp")),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,  # the pallas interpret machinery trips the checker
     )
     fn = jax.jit(sharded)
@@ -158,6 +194,18 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
         mesh=mesh, config=config, fn=fn,
         in_sharding=NamedSharding(mesh, P("dp", "sp")),
     )
+
+
+def initial_carry(stations: int, config: WbfmConfig | None = None):
+    """Fresh-stream ``(kernel_edge, rs_edge)`` for a ``carry_io`` chain:
+    zero FIR/resampler history, discriminator prev = 1 + 0j (the serial
+    QuadState init)."""
+    config = config or WbfmConfig(filter_mode="fir")
+    kernel_edge = jnp.zeros((stations, pallas_fm.STATE_ROWS, 128),
+                            jnp.float32).at[:, 2, 127].set(1.0)
+    rs_edge = jnp.zeros((stations, config.resample_taps_per_phase - 1),
+                        jnp.float32)
+    return kernel_edge, rs_edge
 
 
 def view_blocks_as_i16(blocks: np.ndarray) -> np.ndarray:
