@@ -144,6 +144,11 @@ def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
     }
     for r in runs.values():  # compile every leg before any timing
         r(2)
+    # one discarded warmup rep at full scan lengths: the first timed rep
+    # of a fresh process consistently lands in a throttled/cold phase
+    # (round-4/5 runs: its halo estimate was a 1000x outlier every time)
+    for r in runs.values():
+        r(n_short), r(n_long)
 
     # INTERLEAVED reps: tunnel phase throttling hits all legs equally, so
     # leg DIFFERENCES and RATIOS stay clean even in a dirty phase.
