@@ -55,7 +55,7 @@ class _BudgetExceeded(Exception):
     """Raised between dispatches once the wall-clock budget is spent."""
 
 
-def _diff_time(run) -> tuple[float, str]:
+def _diff_time(run, n_start=None) -> tuple[float, str]:
     """(seconds per iteration, 'differenced'|'upper_bound').
 
     ``run(n)`` must execute one n-iteration scan dispatch and return wall
@@ -78,7 +78,7 @@ def _diff_time(run) -> tuple[float, str]:
         best_ub = min(best_ub, t / n)
         return t
 
-    n_s, n_l = N_SHORT, N_LONG
+    n_s, n_l = n_start if n_start else (N_SHORT, N_LONG)
     try:
         guarded(n_s)  # compile
         t_l = guarded(n_l)  # compile + first timing signal
@@ -127,10 +127,15 @@ def bench_xla(host_block, precision: str):
         float(acc)  # host readback = true sync
         return time.perf_counter() - t0
 
-    return _diff_time(run)
+    # the XLA chains run ~3 ms/block: start the escalation where the scan
+    # work already dominates the tunnel's 20-100 ms dispatch jitter, so a
+    # clean differenced number lands inside the budget (round-4's run
+    # burned its escalations and left only upper bounds)
+    return _diff_time(run, n_start=(16, 64))
 
 
-def bench_pallas(host_block, chunks_per_step: int = 2):
+def bench_pallas(host_block, chunks_per_step: int = 2,
+                 rot_impl: str = "broadcast"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -143,6 +148,14 @@ def bench_pallas(host_block, chunks_per_step: int = 2):
     spec = pallas_fm.default_spec(chunks_per_step=chunks_per_step)
     if host_block.size % spec.chunk_bytes:
         return None
+    if rot_impl == "host":
+        # production placement: the C++ feeder's SIMD byte-map rotation
+        # (csrc/tpusdr_io.cpp tsdr_rotate_fs4_u8) runs on the host thread,
+        # off the device's critical path — same placement the reference
+        # uses for its rotation (simple_fm.rs:276-334)
+        from tpu_sdr.native import rotate_fs4_u8
+
+        host_block = rotate_fs4_u8(host_block)
     d16 = jax.device_put(pallas_fm.view_u8_as_i16(host_block, spec))
     w_hi, w_lo, v = pallas_fm.make_kernel_params()
     phase = jnp.asarray([0], jnp.int32)
@@ -155,7 +168,7 @@ def bench_pallas(host_block, chunks_per_step: int = 2):
         def step(carry, _):
             s, r, acc = carry
             audio, s2, r2 = pallas_fm.demodulate_fused(
-                d16, phase, s, r, w_hi, w_lo, v, spec)
+                d16, phase, s, r, w_hi, w_lo, v, spec, rot_impl=rot_impl)
             return (s2, r2, acc + jnp.sum(audio)), ()
 
         (s, r, acc), _ = lax.scan(
@@ -207,7 +220,21 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        # g=8 first: it won every clean interleaved A/B (round 3) — the
+        # host-rotation variant first (round-5 A/B: -12% kernel time, the
+        # production host-fed configuration — the feeder's C++ conversion
+        # pass pre-rotates, like the reference's host thread), then the
+        # raw-input broadcast kernel.
+        try:
+            r = bench_pallas(host_block, chunks_per_step=8, rot_impl="host")
+            if r:
+                results["pallas_host"], timing["pallas_host"] = r
+                timing["pallas_host_geometry"] = "chunks_per_step=8"
+                timing["pallas_host_note"] = (
+                    "input pre-rotated by the C++ feeder byte map "
+                    "(tsdr_rotate_fs4_u8), off the device critical path")
+        except Exception:
+            pass
+        # g=8: it won every clean interleaved A/B (round 3) — the
         # primary geometry must not depend on budget remaining.
         try:
             r = bench_pallas(host_block, chunks_per_step=8)
@@ -226,11 +253,15 @@ def main() -> None:
         try:
             from benchmarks.hostfed import measure_host_fed_ratio
 
-            r = measure_host_fed_ratio(time_left=_left)
+            # reserve ~120 s of budget for the XLA fallback legs below:
+            # round-4's artifact lost their differenced numbers to a
+            # hostfed overrun
+            r = measure_host_fed_ratio(time_left=lambda: _left() - 120)
             if r:
                 # the RATIO is the defensible system metric on this
                 # host's phase-y tunnel; absolute Msps are secondary
                 extras["host_fed_ratio"] = r["ratio"]
+                extras["host_fed_ratio_iqr"] = r["ratio_iqr"]
                 extras["host_fed_ratio_best"] = r["ratio_best"]
                 extras["host_fed_msps"] = r["host_fed_msps"]
                 extras["h2d_ceiling_msps"] = r["h2d_ceiling_msps"]

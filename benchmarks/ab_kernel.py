@@ -90,7 +90,21 @@ def main() -> None:
 
     mode = sys.argv[3] if len(sys.argv) > 3 else "rot_atan"
     variants = []
-    if mode == "rcp":
+    if mode == "host":
+        # device-side saving of host pre-rotation (rot_impl='host'):
+        # the host leg consumes a PRE-ROTATED HBM block (rotation done
+        # once outside the timed region — in production it rides the C++
+        # feeder's conversion pass, see csrc/tpusdr_io.cpp), the baseline
+        # leg the raw block with the in-kernel broadcast rotation.
+        from tpu_sdr.ops import pallas_fm as _pf
+
+        rotated = _pf.host_rotate_fs4_u8(host_block)
+        for g in gs:
+            variants.append((f"g{g}_rot_broadcast", g, "poly6", "broadcast",
+                             "dcfold", "shift", host_block))
+            variants.append((f"g{g}_rot_host", g, "poly6", "host",
+                             "dcfold", "shift", rotated))
+    elif mode == "rcp":
         # atan range-reduction: exact divide vs approx-reciprocal+Newton,
         # at the production defaults (broadcast + dcfold)
         for g in gs:
@@ -125,7 +139,8 @@ def main() -> None:
     runners = {}
     for name, g, atan, rot, unpack, *rest in variants:
         prev = rest[0] if rest else "shift"
-        r = make_runner(host_block, g, atan, rot, unpack, prev)
+        block = rest[1] if len(rest) > 1 else host_block
+        r = make_runner(block, g, atan, rot, unpack, prev)
         if r is None:
             continue
         t0 = time.perf_counter()

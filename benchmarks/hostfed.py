@@ -83,6 +83,17 @@ def _make_harness(chunks_per_step: int = 2):
             d16, phase, state, rh, w_hi, w_lo, v, spec)
         return s2, r2, acc + jnp.sum(audio)
 
+    @jax.jit
+    def step_ceiling(d16, acc):
+        # Touch one element so the block is consumed and freed exactly
+        # like the compute leg's (matched in-flight footprint: round 4's
+        # ceiling leg kept WINDOW whole 60 MB device blocks alive while
+        # the compute leg held scalars, and measured ~40% slop with
+        # ratios persistently >1 — the pipeline "beating" its own
+        # plumbing-minus-compute ceiling was the ceiling leg's extra
+        # memory pressure, not a real compute win).
+        return acc + d16[0, 0, 0].astype(jnp.float32)
+
     def run(n_blocks: int, compute: bool) -> float:
         feeder = BlockFeeder(FileSource(path, loop=True),
                              block_bytes=block_bytes,
@@ -98,9 +109,9 @@ def _make_harness(chunks_per_step: int = 2):
                 dev = jax.device_put(d16)
                 if compute:
                     state, rh, acc = step(dev, state, rh, acc)
-                    inflight.append(acc)
                 else:
-                    inflight.append(dev)
+                    acc = step_ceiling(dev, acc)
+                inflight.append(acc)
                 last = inflight[-1]
                 if len(inflight) > WINDOW:
                     inflight.pop(0).block_until_ready()
@@ -108,8 +119,7 @@ def _make_harness(chunks_per_step: int = 2):
                 if nb >= n_blocks:
                     break
             last.block_until_ready()
-            if compute:
-                float(acc)
+            float(acc)
             return time.perf_counter() - t0
         finally:
             feeder.stop()
@@ -132,7 +142,7 @@ def _spb(t_s: float, t_l: float, n_s: int, n_l: int) -> tuple[float, str]:
     return t_l / n_l, "upper_bound"
 
 
-def measure_host_fed_ratio(trial_pairs: int = 4, n_long: int = 8,
+def measure_host_fed_ratio(trial_pairs: int = 8, n_long: int = 5,
                            chunks_per_step: int = 2, time_left=None):
     """ADJACENT-pair pipeline-vs-ceiling measurement; returns a dict or
     None.
@@ -147,6 +157,9 @@ def measure_host_fed_ratio(trial_pairs: int = 4, n_long: int = 8,
 
     * ``ratio``: median per-trial pipeline/ceiling throughput ratio (the
       headline — 1.0 means the compute is fully hidden behind the wire),
+    * ``ratio_iqr``: [q1, q3] across trials (the defensibility band —
+      round-5 ask: IQR within ±25% of the median or the finding that the
+      tunnel phase floor prevents it),
     * ``ratio_best``: best-of-trials pairing (each leg's fastest run) —
       the phase-robust summary when trials disagree,
     * ``ratio_trials``: every per-trial ratio (spread = provenance),
@@ -182,8 +195,11 @@ def measure_host_fed_ratio(trial_pairs: int = 4, n_long: int = 8,
             return None
         msps = lambda t: round(  # noqa: E731
             n_long * block_bytes / 2 / t / 1e6, 1)
+        q1, q3 = (np.percentile(ratios, (25, 75)) if len(ratios) >= 4
+                  else (min(ratios), max(ratios)))
         return {
             "ratio": round(float(np.median(ratios)), 3),
+            "ratio_iqr": [round(float(q1), 3), round(float(q3), 3)],
             "ratio_best": round(min(ceil_ts) / min(pipe_ts), 3),
             "ratio_trials": [round(r, 3) for r in ratios],
             "host_fed_msps": msps(min(pipe_ts)),

@@ -241,6 +241,52 @@ void tsdr_u8_iq_to_planar_f32(const uint8_t* iq, size_t n_pairs, int phase,
     }
 }
 
+// fs/4 rotation as a pure byte map: multiply sample k by j**(k+phase)
+// without leaving u8 space — negation of a centered sample (x = 2u - 255)
+// is the byte complement 255 - u, so rotation only swaps/complements the
+// I/Q bytes (the reference's own host-thread placement of this op,
+// simple_fm.rs:276-334).  Output feeds the Pallas kernel's
+// rot_impl="host" variant (tpu_sdr.ops.pallas_fm), which then runs no
+// full-width rotation ops on the device (-12% kernel time, round-5 A/B).
+// The per-period pattern is fixed once `phase` is known, so each case is
+// a straight-line 8-byte map the compiler auto-vectorizes.
+void tsdr_rotate_fs4_u8(const uint8_t* iq, uint8_t* out, size_t n_pairs,
+                        int phase) {
+    size_t k = 0;
+#define TSDR_ROT0(s, d) { (d)[0] = (s)[0];       (d)[1] = (s)[1]; }
+#define TSDR_ROT1(s, d) { (d)[0] = 255 - (s)[1]; (d)[1] = (s)[0]; }
+#define TSDR_ROT2(s, d) { (d)[0] = 255 - (s)[0]; (d)[1] = 255 - (s)[1]; }
+#define TSDR_ROT3(s, d) { (d)[0] = (s)[1];       (d)[1] = 255 - (s)[0]; }
+#define TSDR_ROT_LOOP(A, B, C, D)                                         \
+    for (; k + 4 <= n_pairs; k += 4) {                                    \
+        const uint8_t* s = iq + 2 * k;                                    \
+        uint8_t* d = out + 2 * k;                                         \
+        TSDR_ROT##A(s, d) TSDR_ROT##B(s + 2, d + 2)                       \
+        TSDR_ROT##C(s + 4, d + 4) TSDR_ROT##D(s + 6, d + 6)               \
+    }
+    switch (phase & 3) {
+        case 0: TSDR_ROT_LOOP(0, 1, 2, 3) break;
+        case 1: TSDR_ROT_LOOP(1, 2, 3, 0) break;
+        case 2: TSDR_ROT_LOOP(2, 3, 0, 1) break;
+        default: TSDR_ROT_LOOP(3, 0, 1, 2) break;
+    }
+    for (; k < n_pairs; k++) {  // ragged tail (blocks are 0 mod 4 anyway)
+        const uint8_t* s = iq + 2 * k;
+        uint8_t* d = out + 2 * k;
+        switch ((k + static_cast<size_t>(phase)) & 3) {
+            case 0: TSDR_ROT0(s, d) break;
+            case 1: TSDR_ROT1(s, d) break;
+            case 2: TSDR_ROT2(s, d) break;
+            default: TSDR_ROT3(s, d) break;
+        }
+    }
+#undef TSDR_ROT0
+#undef TSDR_ROT1
+#undef TSDR_ROT2
+#undef TSDR_ROT3
+#undef TSDR_ROT_LOOP
+}
+
 // f32 audio [-1,1] -> s16 PCM with clamping (ref output(),
 // simple_fm.rs:430-438 emits s16-LE).
 void tsdr_f32_to_s16(const float* x, size_t n, float scale, int16_t* out) {

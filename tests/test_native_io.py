@@ -134,6 +134,25 @@ def test_u8_iq_conversion_matches_jax_ops(phase):
     np.testing.assert_allclose(im_n, np.asarray(im_j), atol=1e-6)
 
 
+@pytest.mark.parametrize("phase", [0, 1, 2, 3])
+def test_rotate_fs4_u8_native_matches_numpy(phase):
+    """The native byte-map rotation must equal the numpy reference, and
+    decoding its output as centered floats must equal the f32 rotation."""
+    from tpu_sdr.native import rotate_fs4_u8
+    from tpu_sdr.ops.pallas_fm import host_rotate_fs4_u8
+
+    rng = np.random.default_rng(11)
+    buf = rng.integers(0, 256, size=1024, dtype=np.uint8)
+    got = rotate_fs4_u8(buf, phase=phase)
+    np.testing.assert_array_equal(got, host_rotate_fs4_u8(buf, phase=phase))
+
+    # centered decode of the rotated bytes == rotation of the centered decode
+    re_n, im_n = u8_iq_to_planar_f32(buf, phase=phase, scale=2.0)  # x255 scale
+    x = got.astype(np.float32) * 2.0 - 255.0
+    np.testing.assert_allclose(x[0::2], re_n, atol=1e-5)
+    np.testing.assert_allclose(x[1::2], im_n, atol=1e-5)
+
+
 def test_f32_to_s16_clamps():
     x = np.array([0.0, 0.5, -0.5, 2.0, -2.0], dtype=np.float32)
     out = f32_to_s16(x, scale=32767.0)

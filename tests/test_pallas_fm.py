@@ -172,6 +172,57 @@ def test_kernel_variant_broadcast_rotation_bit_identical(capture):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_kernel_variant_host_rotation_bit_identical(capture):
+    """rot_impl='host' on host-pre-rotated bytes must match the in-kernel
+    rotation: BIT-identical with the 'scale' unpack (both feed the exact
+    same x255 integers to the matmul: negation in byte space is the
+    complement, 2*(255-u) - 255 = -(2u - 255)), and >=100 dB with
+    'dcfold' (same exact math, different matmul addend order)."""
+    import jax.numpy as jnp
+
+    w_hi, w_lo, v = pallas_fm.make_kernel_params()
+    state = jnp.zeros((pallas_fm.STATE_ROWS, 128), jnp.float32
+                      ).at[2, 127].set(1.0)
+    rh = jnp.zeros(SPEC.taps_per_phase - 1, jnp.float32)
+    d16 = jnp.asarray(pallas_fm.view_u8_as_i16(capture, SPEC))
+    for ph in range(4):
+        phase = jnp.asarray([ph], jnp.int32)
+        rotated = pallas_fm.host_rotate_fs4_u8(capture, phase=ph)
+        d16h = jnp.asarray(pallas_fm.view_u8_as_i16(rotated, SPEC))
+        zero = jnp.asarray([0], jnp.int32)  # host mode ignores phase
+
+        a, sa, _ = pallas_fm.demodulate_fused(
+            d16, phase, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            rot_impl="broadcast", unpack_impl="scale")
+        b, sb, _ = pallas_fm.demodulate_fused(
+            d16h, zero, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            rot_impl="host", unpack_impl="scale")
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+
+        c, sc, _ = pallas_fm.demodulate_fused(
+            d16h, zero, state, rh, w_hi, w_lo, v, SPEC, interpret=True,
+            rot_impl="host", unpack_impl="dcfold")
+        snr = _snr_db(np.asarray(a), np.asarray(c))
+        assert snr >= 100.0, f"host dcfold vs scale @ phase {ph}: {snr:.1f} dB"
+        np.testing.assert_allclose(np.asarray(sc), np.asarray(sa),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_streamer_host_rotation_matches_default(capture):
+    """PallasWbfmStreamer(rot_impl='host') — host byte-map rotation + the
+    rotation-free kernel — must track the default streamer across split
+    blocks (carry seam + phase bookkeeping)."""
+    ref = pallas_fm.PallasWbfmStreamer(interpret=True)
+    expected = np.concatenate(
+        [ref.demodulate(capture[:CHUNK]), ref.demodulate(capture[CHUNK:])])
+    host = pallas_fm.PallasWbfmStreamer(interpret=True, rot_impl="host")
+    got = np.concatenate(
+        [host.demodulate(capture[:CHUNK]), host.demodulate(capture[CHUNK:])])
+    snr = _snr_db(expected, got)
+    assert snr >= 100.0, f"host-rotation streamer: {snr:.1f} dB"
+
+
 def test_kernel_variant_dcfold_matches_scale(capture):
     """The DC-fold unpack (raw-byte rotation + post-matmul correction)
     must agree with the x255-scale unpack at every phase.  Not bit-exact

@@ -545,6 +545,21 @@ def test_tpu_psd_tone_bin():
     assert db[peak] - np.median(db) > 30
 
 
+def test_mosaic_host_rotation_variant_matches_default(capture):
+    """rot_impl='host' COMPILED on hardware (host byte-map pre-rotation +
+    rotation-free kernel with the constant DC correction) vs the default
+    broadcast kernel — the round-5 -12% A/B winner must stay >=100 dB
+    under real Mosaic layouts, across a split-block carry seam."""
+    from tpu_sdr.ops import pallas_fm
+
+    ref = pallas_fm.PallasWbfmStreamer(interpret=False).demodulate(capture)
+    s = pallas_fm.PallasWbfmStreamer(interpret=False, rot_impl="host")
+    chunk = pallas_fm.default_spec().chunk_bytes
+    got = np.concatenate([s.demodulate(capture[:chunk]),
+                          s.demodulate(capture[chunk:])])
+    assert _snr_db(ref, got) >= 100.0
+
+
 def test_mosaic_matmul_prev_variant_matches_default(capture):
     """prev_impl='matmul' COMPILED on hardware vs the default kernel —
     the 4-dot stacked-weights variant exercises wider frames (L-1+d

@@ -69,6 +69,8 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.tsdr_pump_blocks.argtypes = [c.c_void_p]
     lib.tsdr_u8_iq_to_planar_f32.argtypes = [
         c.c_void_p, c.c_size_t, c.c_int, c.c_float, c.c_void_p, c.c_void_p]
+    lib.tsdr_rotate_fs4_u8.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_size_t, c.c_int]
     lib.tsdr_f32_to_s16.argtypes = [c.c_void_p, c.c_size_t, c.c_float, c.c_void_p]
     lib.tsdr_count_pattern_breaks.restype = c.c_uint64
     lib.tsdr_count_pattern_breaks.argtypes = [
@@ -87,7 +89,10 @@ def load() -> ctypes.CDLL | None:
         _tried = True
         if os.environ.get("TPU_SDR_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
+        stale = (not os.path.exists(_LIB_PATH)
+                 or (os.path.exists(_SRC)
+                     and os.path.getmtime(_SRC) > os.path.getmtime(_LIB_PATH)))
+        if stale and not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -108,5 +113,6 @@ from tpu_sdr.native.io import (  # noqa: E402,F401
     count_pattern_breaks,
     f32_to_s16,
     parse_tcp_commands,
+    rotate_fs4_u8,
     u8_iq_to_planar_f32,
 )

@@ -225,7 +225,8 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         # is corrected as y = 2*y_raw - corr[phase], where corr is the
         # (tiny, precomputed) response of the decimator to the rotated
         # -255 DC pattern.  Saves 4 full-width VPU ops per chunk.
-        assert rot_impl == "broadcast", "dcfold requires broadcast rotation"
+        assert rot_impl in ("broadcast", "host"), (
+            "dcfold requires broadcast (or host pre-) rotation")
         re = (v & 0xFF).astype(cdtype)
         im = ((v >> 8) & 0xFF).astype(cdtype)
     else:
@@ -235,7 +236,16 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
 
     # ---- fs/4 rotation: multiply sample k by j**(k+phase); width % 4 == 0
     # so the pattern depends only on the column ----
-    if rot_impl == "broadcast":
+    if rot_impl == "host":
+        # Input bytes were pre-rotated ON THE HOST (the reference's own
+        # placement, simple_fm.rs:276-334: negation is the byte complement
+        # 255-u, so the rotation is a pure byte map — SIMD-trivial in the
+        # C++ feeder, off the device's critical path).  The kernel's
+        # full-width rotation ops vanish; in dcfold mode the DC pattern
+        # collapses to the CONSTANT 255 (every lane is "phase 0"), so the
+        # correction is phase-independent too.
+        rre, rim = re, im
+    elif rot_impl == "broadcast":
         # Build the +-1/0 cos/sin rows once at (1, width) and rotate by
         # broadcast multiply: the select work shrinks by the row count and
         # the full-size ops become 4 mults + 2 adds.
@@ -300,12 +310,18 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         # cast is lossless.
         # Patterns built (1, 128) wide; lanes >= H are don't-care (they
         # pair with don't-care tail lanes in 'matmul' mode).
-        kt = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-              + (4 - H % 4) + phase_ref[b]) % 4
-        cos_t = jnp.where(kt == 0, 1.0, jnp.where(kt == 2, -1.0, 0.0))
-        sin_t = jnp.where(kt == 1, 1.0, jnp.where(kt == 3, -1.0, 0.0))
-        p_re = (cos_t - sin_t) * 255.0
-        p_im = (cos_t + sin_t) * 255.0
+        if rot_impl == "host":
+            # pre-rotated input: x = 2u - 255 uniformly, no phase pattern
+            ones = jnp.ones((1, 128), jnp.float32)
+            cos_t, sin_t = ones, jnp.zeros((1, 128), jnp.float32)
+            p_re = p_im = ones * 255.0
+        else:
+            kt = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                  + (4 - H % 4) + phase_ref[b]) % 4
+            cos_t = jnp.where(kt == 0, 1.0, jnp.where(kt == 2, -1.0, 0.0))
+            sin_t = jnp.where(kt == 1, 1.0, jnp.where(kt == 3, -1.0, 0.0))
+            p_re = (cos_t - sin_t) * 255.0
+            p_im = (cos_t + sin_t) * 255.0
         hist_re = ((hist_asc(carry[0:1, :]) + p_re[:, :H]) * 0.5
                    ).astype(cdtype)
         hist_im = ((hist_asc(carry[1:2, :]) + p_im[:, :H]) * 0.5
@@ -315,12 +331,15 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         # unpack + rotate only the (rows, H) tail slice.
         tail_vf = pltpu.roll(v, H, 1)
         tail_v = tail_vf[:, :H]
-        cos_tc = cos_t[:, :H].astype(cdtype)
-        sin_tc = sin_t[:, :H].astype(cdtype)
         t_re = (tail_v & 0xFF).astype(cdtype)
         t_im = ((tail_v >> 8) & 0xFF).astype(cdtype)
-        tail_re = t_re * cos_tc - t_im * sin_tc
-        tail_im = t_im * cos_tc + t_re * sin_tc
+        if rot_impl == "host":
+            tail_re, tail_im = t_re, t_im
+        else:
+            cos_tc = cos_t[:, :H].astype(cdtype)
+            sin_tc = sin_t[:, :H].astype(cdtype)
+            tail_re = t_re * cos_tc - t_im * sin_tc
+            tail_im = t_im * cos_tc + t_re * sin_tc
     else:
         hist_re = hist_asc(carry[0:1, :])
         hist_im = hist_asc(carry[1:2, :])
@@ -376,6 +395,10 @@ def _kernel(spec: PallasWbfmSpec, atan_mode: str, rot_impl: str,
         p = phase_ref[b]
 
         def corr_sel(base):
+            if rot_impl == "host":
+                # phase-independent constant correction (all 4 phase rows
+                # of corr are identical): no selects
+                return corr_ref[base:base + 1], corr_ref[base + 4:base + 5]
             cr = corr_ref[base:base + 1]
             ci = corr_ref[base + 4:base + 5]
             for k in range(1, 4):
@@ -549,13 +572,19 @@ def _interpret_default() -> bool:
 
 
 def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
-             spec: PallasWbfmSpec, prev_impl: str = "shift") -> jax.Array:
+             spec: PallasWbfmSpec, prev_impl: str = "shift",
+             host_rot: bool = False) -> jax.Array:
     """(8, 128) — or (16, 128) for ``prev_impl='matmul'`` (rows 8-15: the
     W_prev half's correction) — decimator response to the rotated -255 DC
     pattern, per fs/4 phase (rows 0-3: re frames, 4-7: im frames) — the
     correction the ``dcfold`` unpack subtracts after the matmul.  Computed
     in-graph from the traced split weights (one tiny constant matmul,
-    fused by XLA)."""
+    fused by XLA).
+
+    ``host_rot``: input bytes are pre-rotated on the host, so the DC
+    pattern is the constant -255 on every column of both channels — all
+    four phase rows come out identical (the kernel then skips its phase
+    selects)."""
     prev_mm = prev_impl == "matmul"
     H = spec.num_taps - 1 + (spec.decim if prev_mm else 0)
     row_len = 128 * spec.decim - spec.decim + 1 + H
@@ -563,9 +592,13 @@ def _dc_corr(w_hi: jax.Array, w_lo: jax.Array,
     j = np.arange(row_len)
     rows_re, rows_im = [], []
     for phase in range(4):
-        kmod = (j - H + phase) % 4  # frame col j holds sample j - H
-        cos = np.where(kmod == 0, 1.0, np.where(kmod == 2, -1.0, 0.0))
-        sin = np.where(kmod == 1, 1.0, np.where(kmod == 3, -1.0, 0.0))
+        if host_rot:
+            cos = np.ones(row_len)
+            sin = np.zeros(row_len)
+        else:
+            kmod = (j - H + phase) % 4  # frame col j holds sample j - H
+            cos = np.where(kmod == 0, 1.0, np.where(kmod == 2, -1.0, 0.0))
+            sin = np.where(kmod == 1, 1.0, np.where(kmod == 3, -1.0, 0.0))
         rows_re.append(cos - sin)
         rows_im.append(cos + sin)
     P = jnp.asarray(np.stack(rows_re + rows_im) * 255.0, jnp.float32)
@@ -588,11 +621,12 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
     discriminator output z (stations, nchunks, rows, 128) + new carries."""
     rows, width = spec.rows, spec.row_width
     stations, nchunks = data_i16.shape[0], data_i16.shape[1]
-    if rot_impl != "broadcast" and unpack_impl in ("dcfold", "dcfold_bf16"):
-        # dcfold structurally requires the broadcast rotation (the DC
-        # correction is derived from the broadcast sign pattern); callers
-        # selecting rot_impl="select" alone get the equivalent 'scale'
-        # unpack instead of a kernel assert mid-trace.
+    if (rot_impl not in ("broadcast", "host")
+            and unpack_impl in ("dcfold", "dcfold_bf16")):
+        # dcfold structurally requires the broadcast (or host pre-)
+        # rotation — the DC correction is derived from the sign pattern;
+        # callers selecting rot_impl="select" alone get the equivalent
+        # 'scale' unpack instead of a kernel assert mid-trace.
         unpack_impl = "scale"
     if prev_impl == "matmul":
         assert w_hi.ndim == 3 and w_hi.shape[0] == 2, (
@@ -607,7 +641,8 @@ def _front_pallas(data_i16, phase, states, w_hi, w_lo, spec, atan_mode,
                               memory_space=pltpu.VMEM)
         corr_rows = 8
     if unpack_impl in ("dcfold", "dcfold_bf16"):
-        corr = _dc_corr(w_hi, w_lo, spec, prev_impl)
+        corr = _dc_corr(w_hi, w_lo, spec, prev_impl,
+                        host_rot=rot_impl == "host")
     else:
         corr = jnp.zeros((corr_rows, 128), jnp.float32)
     z_dtype = jnp.int16 if z_impl == "i16" else jnp.float32
@@ -803,6 +838,42 @@ def view_u8_as_i16(buf: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
     return buf.view("<i2").reshape(-1, spec.rows, spec.row_width)
 
 
+def host_rotate_fs4_u8(buf: np.ndarray, phase: int = 0) -> np.ndarray:
+    """fs/4 rotation as a pure byte map, applied on the host (for the
+    kernel's ``rot_impl='host'`` variant).
+
+    Multiplying centered sample x = 2u - 255 by j**(k+phase) only swaps
+    and/or negates I/Q, and negation in byte space is the complement
+    255 - u — the same trick the reference rotates with on its host
+    thread (simple_fm.rs:276-334).  Per complex sample k with
+    p = (k + phase) % 4:
+
+        p=0: (I, Q)    p=1: (255-Q, I)    p=2: (255-I, 255-Q)
+        p=3: (Q, 255-I)
+
+    Requires ``len(buf) % 8 == 0`` (whole 4-sample pattern periods).
+    Vectorized numpy (the C ABI runtime ships a SIMD equivalent in
+    csrc/tpusdr_io.cpp for the feeder's conversion stage).
+    """
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    assert buf.size % 8 == 0, (
+        f"buffer of {buf.size} bytes must hold whole 4-sample periods")
+    s = buf.reshape(-1, 4, 2)
+    out = np.empty_like(s)
+    ph = [(k + phase) % 4 for k in range(4)]
+    for k in range(4):
+        i_, q_ = s[:, k, 0], s[:, k, 1]
+        if ph[k] == 0:
+            out[:, k, 0], out[:, k, 1] = i_, q_
+        elif ph[k] == 1:
+            out[:, k, 0], out[:, k, 1] = 255 - q_, i_
+        elif ph[k] == 2:
+            out[:, k, 0], out[:, k, 1] = 255 - i_, 255 - q_
+        else:
+            out[:, k, 0], out[:, k, 1] = q_, 255 - i_
+    return out.reshape(buf.shape)
+
+
 def view_u8_as_i16_batch(bufs: np.ndarray, spec: PallasWbfmSpec) -> np.ndarray:
     """(stations, bytes) u8 -> (stations, nchunks, rows, width) int16."""
     bufs = np.ascontiguousarray(bufs, dtype=np.uint8)
@@ -817,7 +888,8 @@ class PallasWbfmStreamer:
 
     def __init__(self, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None,
-                 unpack_impl: str = "dcfold", prev_impl: str = "shift"):
+                 unpack_impl: str = "dcfold", prev_impl: str = "shift",
+                 rot_impl: str = "broadcast"):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")
@@ -827,6 +899,10 @@ class PallasWbfmStreamer:
         self.atan_mode = atan_mode
         self.unpack_impl = unpack_impl
         self.prev_impl = prev_impl
+        # 'host': rotate in the streamer's host pass (native SIMD byte
+        # map when built) and run the rotation-free kernel — -12% device
+        # time (round-5 interleaved A/B)
+        self.rot_impl = rot_impl
         self.interpret = _interpret_default() if interpret is None else interpret
         self.state = jnp.zeros((STATE_ROWS, 128), jnp.float32)
         self.state = self.state.at[2, 127].set(1.0)  # quad prev = 1+0j
@@ -840,11 +916,19 @@ class PallasWbfmStreamer:
         self._pending = data[usable:]
         if usable == 0:
             return np.zeros(0, dtype=np.float32)
-        d16 = view_u8_as_i16(data[:usable], self.spec)
+        payload = data[:usable]
+        kphase = self.phase
+        if self.rot_impl == "host":
+            from tpu_sdr.native import rotate_fs4_u8
+
+            payload = rotate_fs4_u8(payload, phase=self.phase)
+            kphase = 0  # rotation already applied; kernel runs phase-free
+        d16 = view_u8_as_i16(payload, self.spec)
         audio, self.state, self.resamp_hist = demodulate_fused(
-            jnp.asarray(d16), jnp.asarray([self.phase], jnp.int32), self.state,
+            jnp.asarray(d16), jnp.asarray([kphase], jnp.int32), self.state,
             self.resamp_hist, self.w_hi, self.w_lo, self.v, self.spec,
             atan_mode=self.atan_mode, interpret=self.interpret,
+            rot_impl=self.rot_impl,
             unpack_impl=self.unpack_impl, prev_impl=self.prev_impl)
         self.phase = (self.phase + usable // 2) % 4
         return np.asarray(audio)
