@@ -91,6 +91,51 @@ def test_sharded_matches_serial_aligned(filter_mode):
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("dp,sp", [(1, 8), (2, 4)])
+def test_sharded_carry_io_streams_across_blocks(dp, sp):
+    """carry_io=True: two consecutive blocks, each seeded with the
+    previous block's end carries, must match the serial chain streaming
+    its WbfmState across the same two blocks (round-5 feature — without
+    it the XLA sharded chain restarted the stream every block)."""
+    import jax.numpy as jnp
+
+    from tpu_sdr.parallel.wbfm_sharded import initial_xla_carry
+
+    config = wbfm.WbfmConfig(filter_mode="fir")
+    m = mesh_mod.make_mesh(dp=dp, sp=sp)
+    chain = make_sharded_wbfm(m, config, carry_io=True)
+
+    stations = dp
+    rng = np.random.default_rng(23)
+    # aligned geometry per shard (n_out_loc % 85 == 0) AND two blocks
+    n_loc = 2040 * 12
+    blocks = [rng.integers(0, 256, (stations, 2 * n_loc * sp),
+                           dtype=np.uint8) for _ in range(2)]
+
+    carry = initial_xla_carry(stations, config)
+    got_parts = []
+    for b in blocks:
+        x = jax.device_put(b, chain.in_sharding)
+        audio, counts, carry = chain.fn(x, carry)
+        got_parts.append(chain.assemble(audio, counts))
+    got = np.concatenate(got_parts, axis=1)
+
+    params = wbfm.make_params(config)
+    exp_rows = []
+    for s in range(stations):
+        state = wbfm.init_state(config)
+        outs = []
+        for b in blocks:
+            audio, count, state = wbfm.demodulate_block(
+                jnp.asarray(b[s]), state, params, config)
+            outs.append(np.asarray(audio)[: int(count)])
+        exp_rows.append(np.concatenate(outs))
+    expected = np.stack(exp_rows)
+
+    assert got.shape == expected.shape, (got.shape, expected.shape)
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
 def test_counts_partition_total():
     """Per-shard emission counts must sum to the serial total — the
     closed-form ownership rule leaves no gaps or overlaps."""

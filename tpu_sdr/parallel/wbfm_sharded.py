@@ -25,6 +25,7 @@ valid count — no dynamic shapes anywhere.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import NamedTuple
 
 
 import jax
@@ -36,6 +37,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpu_sdr.models.wbfm import WbfmConfig, make_params
 from tpu_sdr.ops import fm as F
 from tpu_sdr.parallel.halo import pull_left_halo
+
+
+class XlaStreamCarry(NamedTuple):
+    """Block-to-block streaming carry of the XLA sharded chain (per
+    station row): the rotated-sample FIR history, the discriminator's
+    previous decimated sample, and the demodulated resampler history —
+    the sharded analog of the serial ``WbfmState`` minus the rotator
+    phase (shard/block lengths are multiples of 4 samples, so the fs/4
+    phase is always 0 at every boundary)."""
+
+    fir_re: jax.Array   # (stations, num_taps - 1)
+    fir_im: jax.Array
+    quad_re: jax.Array  # (stations, 1)
+    quad_im: jax.Array
+    rs: jax.Array       # (stations, T - 1)
+
+
+def initial_xla_carry(stations: int,
+                      config: WbfmConfig | None = None) -> XlaStreamCarry:
+    """Fresh-stream carry: zero histories, discriminator prev = 1 + 0j
+    (the serial QuadState init)."""
+    config = config or WbfmConfig(filter_mode="fir")
+    L = config.decim * config.fir_taps_per_phase
+    T = config.resample_taps_per_phase
+    return XlaStreamCarry(
+        jnp.zeros((stations, L - 1), jnp.float32),
+        jnp.zeros((stations, L - 1), jnp.float32),
+        jnp.ones((stations, 1), jnp.float32),
+        jnp.zeros((stations, 1), jnp.float32),
+        jnp.zeros((stations, T - 1), jnp.float32),
+    )
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -68,14 +100,26 @@ class ShardedWbfm:
         return np.concatenate(pieces, axis=1)
 
 
-def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWbfm:
-    """Build the jitted sharded chain for ``mesh`` with axes ('dp','sp')."""
+def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None,
+                      carry_io: bool = False) -> ShardedWbfm:
+    """Build the jitted sharded chain for ``mesh`` with axes ('dp','sp').
+
+    ``carry_io``: block-to-block streaming (FIR-mode only).  The jitted
+    fn becomes ``fn(blocks, carry: XlaStreamCarry) -> (audio, counts,
+    new_carry)``: the carry seeds shard 0's FIR/discriminator/resampler
+    halos and the LAST time shard's end-of-block values come back — feed
+    them forward and the sharded chain is sample-exact with one serial
+    stream across blocks.  Use :func:`initial_xla_carry` to start."""
     config = config or WbfmConfig()
     params = make_params(config)
     decim = config.decim
     num_taps = config.decim * config.fir_taps_per_phase
+    if carry_io:
+        assert config.filter_mode == "fir", (
+            "carry_io streaming is defined for the FIR chain")
+    T_rs = config.resample_taps_per_phase
 
-    def shard_fn(blocks_loc):
+    def shard_fn(blocks_loc, carry=None):
         """Per-shard compute. blocks_loc: u8 (stations_loc, bytes_loc)."""
         st, nbytes = blocks_loc.shape
         n_loc = nbytes // 2
@@ -106,8 +150,12 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
             d_re = rot_re.reshape(st, n_out, decim).sum(axis=2)
             d_im = rot_im.reshape(st, n_out, decim).sum(axis=2)
         else:
-            halo_re = pull_left_halo(rot_re.T, num_taps - 1, "sp").T
-            halo_im = pull_left_halo(rot_im.T, num_taps - 1, "sp").T
+            halo_re = pull_left_halo(
+                rot_re.T, num_taps - 1, "sp",
+                left_edge=None if carry is None else carry.fir_re.T).T
+            halo_im = pull_left_halo(
+                rot_im.T, num_taps - 1, "sp",
+                left_edge=None if carry is None else carry.fir_im.T).T
             xr = jnp.concatenate([halo_re, rot_re], axis=1)
             xi = jnp.concatenate([halo_im, rot_im], axis=1)
             xext = jnp.concatenate([xr, xi], axis=0)  # (2*st, halo+n_loc)
@@ -117,9 +165,13 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
         # --- discriminator: 1-sample halo at the decimated rate.  The
         # global left edge is seeded (1, 0) like the serial QuadState init,
         # so shard 0 reproduces the serial first sample exactly. ----------
-        prev_re = pull_left_halo(d_re.T, 1, "sp",
-                                 left_edge=jnp.ones((1, st), jnp.float32)).T
-        prev_im = pull_left_halo(d_im.T, 1, "sp").T
+        prev_re = pull_left_halo(
+            d_re.T, 1, "sp",
+            left_edge=(jnp.ones((1, st), jnp.float32) if carry is None
+                       else carry.quad_re.T)).T
+        prev_im = pull_left_halo(
+            d_im.T, 1, "sp",
+            left_edge=None if carry is None else carry.quad_im.T).T
         b_re = jnp.concatenate([prev_re, d_re[:, :-1]], axis=1)
         b_im = jnp.concatenate([prev_im, d_im[:, :-1]], axis=1)
         c_re = d_re * b_re + d_im * b_im
@@ -130,12 +182,34 @@ def make_sharded_wbfm(mesh: Mesh, config: WbfmConfig | None = None) -> ShardedWb
             ang = jnp.arctan2(c_im, c_re)
         demod = ang * jnp.float32(1 / np.pi)
 
-        return resample_shard(demod, config, params, "sp")
+        if carry is None:
+            return resample_shard(demod, config, params, "sp")
+        audio, counts = resample_shard(demod, config, params, "sp",
+                                       left_edge=carry.rs)
+        # End-of-block carries: the LAST time shard's tails, broadcast to
+        # every sp rank via a one-hot psum (a single tiny all-reduce).
+        last = (lax.axis_index("sp")
+                == lax.axis_size("sp") - 1).astype(jnp.float32)
+        new_carry = XlaStreamCarry(
+            lax.psum(rot_re[:, n_loc - (num_taps - 1):] * last, "sp"),
+            lax.psum(rot_im[:, n_loc - (num_taps - 1):] * last, "sp"),
+            lax.psum(d_re[:, n_out - 1:] * last, "sp"),
+            lax.psum(d_im[:, n_out - 1:] * last, "sp"),
+            lax.psum(demod[:, n_out - (T_rs - 1):] * last, "sp"),
+        )
+        return audio, counts, new_carry
 
+    if carry_io:
+        carry_spec = XlaStreamCarry(*([P("dp", None)] * 5))
+        in_specs = (P("dp", "sp"), carry_spec)
+        out_specs = (P("dp", "sp"), P("sp"), carry_spec)
+    else:
+        in_specs = P("dp", "sp")
+        out_specs = (P("dp", "sp"), P("sp"))
     sharded = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=P("dp", "sp"),
-        out_specs=(P("dp", "sp"), P("sp")),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     fn = jax.jit(sharded)
 
