@@ -93,7 +93,11 @@ def test_fused_batch_matches_per_station(capture):
     got = batch.demodulate(bufs)
 
     for b, buf in enumerate(bufs):
-        single = pallas_fm.PallasWbfmStreamer(interpret=True)
+        # batch kernel rotates in-kernel (broadcast): pin the serial
+        # reference to the same rotation placement for tight equality
+        # (the 'host' streamer default differs at the 100 dB level)
+        single = pallas_fm.PallasWbfmStreamer(interpret=True,
+                                              rot_impl="broadcast")
         exp = single.demodulate(buf)
         np.testing.assert_allclose(got[b], exp, rtol=1e-5, atol=1e-6)
 
@@ -210,10 +214,11 @@ def test_kernel_variant_host_rotation_bit_identical(capture):
 
 
 def test_streamer_host_rotation_matches_default(capture):
-    """PallasWbfmStreamer(rot_impl='host') — host byte-map rotation + the
-    rotation-free kernel — must track the default streamer across split
-    blocks (carry seam + phase bookkeeping)."""
-    ref = pallas_fm.PallasWbfmStreamer(interpret=True)
+    """PallasWbfmStreamer(rot_impl='host' — the default) — host byte-map
+    rotation + the rotation-free kernel — must track the in-kernel
+    broadcast-rotation streamer across split blocks (carry seam + phase
+    bookkeeping)."""
+    ref = pallas_fm.PallasWbfmStreamer(interpret=True, rot_impl="broadcast")
     expected = np.concatenate(
         [ref.demodulate(capture[:CHUNK]), ref.demodulate(capture[CHUNK:])])
     host = pallas_fm.PallasWbfmStreamer(interpret=True, rot_impl="host")

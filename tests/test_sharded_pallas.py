@@ -23,7 +23,12 @@ CHUNK_C = SPEC.chunk_complex  # 65280 complex per kernel chunk
 def _serial_reference(blocks):
     out = []
     for b in blocks:
-        s = pallas_fm.PallasWbfmStreamer(interpret=True)
+        # the sharded chain rotates in-kernel (broadcast); pin the serial
+        # reference to the same placement — the streamer's 'host' default
+        # differs at the ~100 dB bf16-addend-order level, beyond these
+        # tests' tight allclose
+        s = pallas_fm.PallasWbfmStreamer(interpret=True,
+                                         rot_impl="broadcast")
         out.append(s.demodulate(b))
     return np.stack(out)
 
@@ -80,10 +85,12 @@ def test_sharded_pallas_carry_io_streams_across_blocks(dp, sp):
         got_parts.append(chain.assemble(audio, counts))
     got = np.concatenate(got_parts, axis=1)
 
-    # serial streaming reference: one streamer per station over BOTH blocks
+    # serial streaming reference: one streamer per station over BOTH
+    # blocks (broadcast-pinned like _serial_reference)
     exp = []
     for s in range(stations):
-        st = pallas_fm.PallasWbfmStreamer(interpret=True)
+        st = pallas_fm.PallasWbfmStreamer(interpret=True,
+                                          rot_impl="broadcast")
         exp.append(np.concatenate([st.demodulate(b[s]) for b in blocks]))
     exp = np.stack(exp)
     assert got.shape == exp.shape

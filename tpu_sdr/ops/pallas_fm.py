@@ -889,7 +889,7 @@ class PallasWbfmStreamer:
     def __init__(self, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None,
                  unpack_impl: str = "dcfold", prev_impl: str = "shift",
-                 rot_impl: str = "broadcast"):
+                 rot_impl: str = "host"):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")
@@ -899,9 +899,11 @@ class PallasWbfmStreamer:
         self.atan_mode = atan_mode
         self.unpack_impl = unpack_impl
         self.prev_impl = prev_impl
-        # 'host': rotate in the streamer's host pass (native SIMD byte
-        # map when built) and run the rotation-free kernel — -12% device
-        # time (round-5 interleaved A/B)
+        # 'host' (default): rotate in the streamer's host pass (native
+        # SIMD byte map when built, numpy otherwise) and run the
+        # rotation-free kernel — -12% device time (round-5 interleaved
+        # A/B); 'broadcast'/'select' keep the rotation in the kernel for
+        # callers whose bytes must not be touched on the host
         self.rot_impl = rot_impl
         self.interpret = _interpret_default() if interpret is None else interpret
         self.state = jnp.zeros((STATE_ROWS, 128), jnp.float32)
