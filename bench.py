@@ -135,7 +135,7 @@ def bench_xla(host_block, precision: str):
 
 
 def bench_pallas(host_block, chunks_per_step: int = 2,
-                 rot_impl: str = "broadcast"):
+                 rot_impl: str = "broadcast", unpack_impl: str = "dcfold"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -168,7 +168,8 @@ def bench_pallas(host_block, chunks_per_step: int = 2,
         def step(carry, _):
             s, r, acc = carry
             audio, s2, r2 = pallas_fm.demodulate_fused(
-                d16, phase, s, r, w_hi, w_lo, v, spec, rot_impl=rot_impl)
+                d16, phase, s, r, w_hi, w_lo, v, spec, rot_impl=rot_impl,
+                unpack_impl=unpack_impl)
             return (s2, r2, acc + jnp.sum(audio)), ()
 
         (s, r, acc), _ = lax.scan(
@@ -225,7 +226,8 @@ def main() -> None:
         # pass pre-rotates, like the reference's host thread), then the
         # raw-input broadcast kernel.
         try:
-            r = bench_pallas(host_block, chunks_per_step=8, rot_impl="host")
+            r = bench_pallas(host_block, chunks_per_step=8, rot_impl="host",
+                             unpack_impl="dcfold_bf16")
             if r:
                 results["pallas_host"], timing["pallas_host"] = r
                 timing["pallas_host_geometry"] = "chunks_per_step=8"

@@ -104,6 +104,11 @@ def main() -> None:
                              "dcfold", "shift", host_block))
             variants.append((f"g{g}_rot_host", g, "poly6", "host",
                              "dcfold", "shift", rotated))
+            # bf16 pre-matmul pipeline retry: its round-4 7% loss was
+            # measured WITH the in-kernel rotation; host mode removes
+            # most of the 16-bit layout work that cost
+            variants.append((f"g{g}_rot_host_bf16", g, "poly6", "host",
+                             "dcfold_bf16", "shift", rotated))
     elif mode == "rcp":
         # atan range-reduction: exact divide vs approx-reciprocal+Newton,
         # at the production defaults (broadcast + dcfold)

@@ -888,7 +888,7 @@ class PallasWbfmStreamer:
 
     def __init__(self, config=None, atan_mode: str = "poly6",
                  interpret: bool | None = None,
-                 unpack_impl: str = "dcfold", prev_impl: str = "shift",
+                 unpack_impl: str | None = None, prev_impl: str = "shift",
                  rot_impl: str = "host"):
         from tpu_sdr.models import wbfm as M
 
@@ -897,6 +897,14 @@ class PallasWbfmStreamer:
         self.w_hi, self.w_lo, self.v = make_kernel_params(
             self.config, prev_impl=prev_impl)
         self.atan_mode = atan_mode
+        # unpack default is rotation-placement-dependent: with the host
+        # rotation the bf16 pre-matmul pipeline WINS (-5.5%, round-5
+        # interleaved A/B, bit-identical output) because the 16-bit
+        # layout work that made it 7% slower in round 4 was mostly the
+        # in-kernel rotation; with in-kernel rotation dcfold(f32) stays
+        # the measured winner.
+        if unpack_impl is None:
+            unpack_impl = "dcfold_bf16" if rot_impl == "host" else "dcfold"
         self.unpack_impl = unpack_impl
         self.prev_impl = prev_impl
         # 'host' (default): rotate in the streamer's host pass (native
