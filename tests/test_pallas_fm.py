@@ -93,11 +93,9 @@ def test_fused_batch_matches_per_station(capture):
     got = batch.demodulate(bufs)
 
     for b, buf in enumerate(bufs):
-        # batch kernel rotates in-kernel (broadcast): pin the serial
-        # reference to the same rotation placement for tight equality
-        # (the 'host' streamer default differs at the 100 dB level)
-        single = pallas_fm.PallasWbfmStreamer(interpret=True,
-                                              rot_impl="broadcast")
+        # both streamers default to the host rotation placement, so
+        # batch and single feed bit-identical frames to the same kernel
+        single = pallas_fm.PallasWbfmStreamer(interpret=True)
         exp = single.demodulate(buf)
         np.testing.assert_allclose(got[b], exp, rtol=1e-5, atol=1e-6)
 

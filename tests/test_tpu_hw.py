@@ -79,10 +79,9 @@ def test_mosaic_fused_batch_matches_single(capture):
     batch = pallas_fm.PallasWbfmBatchStreamer(2, interpret=False)
     got = batch.demodulate(bufs)
     for b, buf in enumerate(bufs):
-        # batch kernel rotates in-kernel: pin the serial reference to the
-        # same placement (the 'host' default agrees only to ~100 dB)
-        single = pallas_fm.PallasWbfmStreamer(interpret=False,
-                                              rot_impl="broadcast")
+        # both streamers default to the host rotation placement, so
+        # batch and single feed bit-identical frames to the same kernel
+        single = pallas_fm.PallasWbfmStreamer(interpret=False)
         np.testing.assert_allclose(got[b], single.demodulate(buf),
                                    rtol=1e-5, atol=1e-6)
 

@@ -725,13 +725,14 @@ def demodulate_fused(data_i16: jax.Array, phase: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("spec", "atan_mode", "interpret",
-                                   "unpack_impl"))
+                                   "unpack_impl", "rot_impl"))
 def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
                            states: jax.Array, resamp_hists: jax.Array,
                            w_hi: jax.Array, w_lo: jax.Array, v: jax.Array,
                            spec: PallasWbfmSpec, atan_mode: str = "poly6",
                            interpret: bool = False,
-                           unpack_impl: str = "dcfold"):
+                           unpack_impl: str = "dcfold",
+                           rot_impl: str = "broadcast"):
     """Multi-station fused chain: one kernel launch demodulates every
     station (grid = stations x chunks — the in-chip DP axis of
     wbfm_batched, BASELINE.json config #2).
@@ -743,7 +744,7 @@ def demodulate_fused_batch(data_i16: jax.Array, phases: jax.Array,
     """
     z, new_states = _front_pallas(
         data_i16, phases, states, w_hi, w_lo, spec, atan_mode, interpret,
-        unpack_impl=unpack_impl)
+        rot_impl=rot_impl, unpack_impl=unpack_impl)
     stations = data_i16.shape[0]
 
     def resample_one(zb, hist):
@@ -949,13 +950,18 @@ class PallasWbfmBatchStreamer:
     fused kernel: one launch demodulates the whole station batch."""
 
     def __init__(self, stations: int, config=None, atan_mode: str = "poly6",
-                 interpret: bool | None = None):
+                 interpret: bool | None = None,
+                 rot_impl: str = "host", unpack_impl: str | None = None):
         from tpu_sdr.models import wbfm as M
 
         self.config = config or M.WbfmConfig(filter_mode="fir")
         self.spec = default_spec(self.config)
         self.w_hi, self.w_lo, self.v = make_kernel_params(self.config)
         self.atan_mode = atan_mode
+        self.rot_impl = rot_impl  # same defaults as PallasWbfmStreamer
+        if unpack_impl is None:
+            unpack_impl = "dcfold_bf16" if rot_impl == "host" else "dcfold"
+        self.unpack_impl = unpack_impl
         self.interpret = _interpret_default() if interpret is None else interpret
         self.stations = stations
         self.states = jnp.zeros((stations, STATE_ROWS, 128), jnp.float32
@@ -972,10 +978,27 @@ class PallasWbfmBatchStreamer:
         self._pending = data[:, usable:]
         if usable == 0:
             return np.zeros((self.stations, 0), dtype=np.float32)
-        d16 = view_u8_as_i16_batch(data[:, :usable], self.spec)
+        payload = data[:, :usable]
+        kphases = self.phases
+        if self.rot_impl == "host":
+            # one flat byte-map pass rotates every station row: row
+            # lengths are multiples of 4 samples, so the flattened
+            # position keeps the within-row pattern — valid while all
+            # stations share one phase (they start equal and advance
+            # equally; reset() restores that invariant)
+            assert (self.phases == self.phases[0]).all(), (
+                "host rotation needs a common station phase")
+            from tpu_sdr.native import rotate_fs4_u8
+
+            payload = rotate_fs4_u8(
+                np.ascontiguousarray(payload).reshape(-1),
+                phase=int(self.phases[0])).reshape(payload.shape)
+            kphases = np.zeros_like(self.phases)
+        d16 = view_u8_as_i16_batch(payload, self.spec)
         audio, self.states, self.resamp_hists = demodulate_fused_batch(
-            jnp.asarray(d16), jnp.asarray(self.phases), self.states,
+            jnp.asarray(d16), jnp.asarray(kphases), self.states,
             self.resamp_hists, self.w_hi, self.w_lo, self.v, self.spec,
-            atan_mode=self.atan_mode, interpret=self.interpret)
+            atan_mode=self.atan_mode, interpret=self.interpret,
+            rot_impl=self.rot_impl, unpack_impl=self.unpack_impl)
         self.phases = (self.phases + usable // 2) % 4
         return np.asarray(audio)
