@@ -251,14 +251,17 @@ def main() -> None:
     # headline so a throttled phase late in the budget cannot drop it
     # from the artifact (the xla fallback paths below are the optional
     # extras, not this).
-    if on_tpu and _left() > 90:
+    # needs ~60 s of warmup before the first trial lands: don't start a
+    # doomed attempt (observed: a cold-compile-heavy headline phase left
+    # hostfed enough budget to warm up but not to record one pair)
+    if on_tpu and _left() > 240:
         try:
             from benchmarks.hostfed import measure_host_fed_ratio
 
-            # reserve ~120 s of budget for the XLA fallback legs below:
+            # reserve ~100 s of budget for the XLA fallback legs below:
             # round-4's artifact lost their differenced numbers to a
             # hostfed overrun
-            r = measure_host_fed_ratio(time_left=lambda: _left() - 120)
+            r = measure_host_fed_ratio(time_left=lambda: _left() - 100)
             if r:
                 # the RATIO is the defensible system metric on this
                 # host's phase-y tunnel; absolute Msps are secondary
