@@ -57,6 +57,30 @@ def test_sharded_pallas_matches_serial(dp, sp):
 
 
 @pytest.mark.parametrize("dp,sp", [(1, 4), (2, 2)])
+def test_sharded_pallas_host_rotation_matches_serial(dp, sp):
+    """rot_impl='host' sharded chain (pre-rotated input, rotation-free
+    bf16 kernel — the round-5 production front) vs the serial host-mode
+    streamer on the same raw bytes."""
+    stations = 2 * dp
+    n_complex = sp * CHUNK_C
+    rng = np.random.default_rng(29)
+    blocks = rng.integers(0, 256, (stations, 2 * n_complex), dtype=np.uint8)
+
+    mesh = mesh_mod.make_mesh(dp=dp, sp=sp)
+    chain = make_sharded_wbfm_pallas(mesh, wbfm.WbfmConfig(filter_mode="fir"),
+                                     interpret=True, rot_impl="host")
+    audio, counts = sharded_wbfm_pallas_apply(chain, blocks, rotate=True)
+    got = chain.assemble(audio, counts)
+
+    exp = np.stack([
+        pallas_fm.PallasWbfmStreamer(interpret=True,
+                                     rot_impl="host").demodulate(b)
+        for b in blocks])
+    assert got.shape == exp.shape
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 4), (2, 2)])
 def test_sharded_pallas_carry_io_streams_across_blocks(dp, sp):
     """carry_io=True: successive blocks through the sharded chain, each
     seeded with the previous block's end carries, must match ONE serial

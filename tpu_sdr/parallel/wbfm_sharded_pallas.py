@@ -48,13 +48,20 @@ from tpu_sdr.parallel.wbfm_sharded import ShardedWbfm, resample_shard
 _TAIL = 128  # decoded tail samples per shard (>= L-1 + decim + 1)
 
 
-def _decode_rotate_tail(d16_tail: jax.Array) -> tuple[jax.Array, jax.Array]:
+def _decode_rotate_tail(d16_tail: jax.Array,
+                        host_rotated: bool = False
+                        ) -> tuple[jax.Array, jax.Array]:
     """Last ``_TAIL`` int16 samples -> rotated (re, im) at the kernel's x255
     integer scale.  The tail starts at local index n_loc - _TAIL, which is
-    0 mod 4 (n_loc and _TAIL are), so the rotation pattern is position%4."""
+    0 mod 4 (n_loc and _TAIL are), so the rotation pattern is position%4.
+
+    ``host_rotated``: input bytes were pre-rotated by the host byte map
+    (rot_impl='host'), so decoding alone yields the rotated values."""
     v = d16_tail.astype(jnp.int32)
     re = (v & 0xFF).astype(jnp.float32) * 2.0 - 255.0
     im = ((v >> 8) & 0xFF).astype(jnp.float32) * 2.0 - 255.0
+    if host_rotated:
+        return re, im
     k = jnp.arange(_TAIL, dtype=jnp.int32)[None, :] % 4
     rre = jnp.where(k == 0, re, jnp.where(k == 1, -im, jnp.where(k == 2, -re, im)))
     rim = jnp.where(k == 0, im, jnp.where(k == 1, re, jnp.where(k == 2, -im, -re)))
@@ -65,7 +72,8 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
                              interpret: bool | None = None,
                              halo_impl: str = "auto",
                              chunks_per_step: int | None = None,
-                             carry_io: bool = False) -> ShardedWbfm:
+                             carry_io: bool = False,
+                             rot_impl: str = "broadcast") -> ShardedWbfm:
     """Build the jitted Pallas-front-end sharded chain for ('dp','sp').
 
     ``interpret``: run the fused kernel under the Pallas interpreter;
@@ -87,9 +95,17 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
     ``(carry, block)`` discipline as every serial streamer; emission
     phase continuity is automatic because shard lengths are multiples of
     ``down``).  Use :func:`initial_carry` for a fresh stream.
+    ``rot_impl='host'``: input must be PRE-ROTATED by the host byte map
+    (``pallas_fm.host_rotate_fs4_u8`` / the C++ feeder's
+    ``tsdr_rotate_fs4_u8``) — the kernel then runs rotation-free with the
+    bf16 pre-matmul pipeline, the round-5 production front (-12% and
+    -5.5% interleaved A/Bs); ``sharded_wbfm_pallas_apply(..., rotate=
+    True)`` applies the byte map for you.
     """
     config = config or WbfmConfig(filter_mode="fir")
     assert config.filter_mode == "fir", "pallas front-end is FIR-mode only"
+    assert rot_impl in ("broadcast", "host"), rot_impl
+    unpack_impl = "dcfold_bf16" if rot_impl == "host" else "dcfold"
     params = make_params(config)
     spec = (pallas_fm.default_spec(config) if chunks_per_step is None
             else pallas_fm.default_spec(config,
@@ -119,7 +135,8 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
             f"the kernel chunk ({spec.chunk_complex})")
 
         # --- my end-of-shard kernel carry, from the decoded tail ----------
-        rre_t, rim_t = _decode_rotate_tail(d16_loc[:, n_loc - _TAIL:])
+        rre_t, rim_t = _decode_rotate_tail(d16_loc[:, n_loc - _TAIL:],
+                                           host_rotated=rot_impl == "host")
         # my last decimated output: window X[m*d - (L-1) .. m*d] ends at
         # local index n_loc - decim, i.e. tail slice [-(L+decim-1+1) ...]
         w0 = _TAIL - spec.decim - Lm1
@@ -159,7 +176,8 @@ def make_sharded_wbfm_pallas(mesh: Mesh, config: WbfmConfig | None = None,
                                spec.row_width)
         phases = jnp.zeros(st, jnp.int32)  # shard lengths are 0 mod 4
         z, _ = pallas_fm._front_pallas(
-            data, phases, states, w_hi, w_lo, spec, "poly6", interpret)
+            data, phases, states, w_hi, w_lo, spec, "poly6", interpret,
+            rot_impl=rot_impl, unpack_impl=unpack_impl)
         demod = z.reshape(st, n_loc // spec.decim)
 
         if not carry_io:
@@ -214,7 +232,17 @@ def view_blocks_as_i16(blocks: np.ndarray) -> np.ndarray:
     return blocks.view("<i2")
 
 
-def sharded_wbfm_pallas_apply(chain: ShardedWbfm, blocks: np.ndarray):
-    """Place (stations, bytes) u8 blocks on the mesh and run the chain."""
+def sharded_wbfm_pallas_apply(chain: ShardedWbfm, blocks: np.ndarray,
+                              rotate: bool = False):
+    """Place (stations, bytes) u8 blocks on the mesh and run the chain.
+
+    ``rotate``: apply the host fs/4 byte map first (for chains built with
+    ``rot_impl='host'``; row lengths are multiples of 4 samples so one
+    flat pass keeps every row's pattern)."""
+    if rotate:
+        from tpu_sdr.native import rotate_fs4_u8
+
+        blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+        blocks = rotate_fs4_u8(blocks.reshape(-1)).reshape(blocks.shape)
     x = jax.device_put(view_blocks_as_i16(blocks), chain.in_sharding)
     return chain(x)
