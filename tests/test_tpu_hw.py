@@ -216,7 +216,33 @@ def test_mosaic_sharded_chain_single_chip(capture):
     audio, counts = sharded_wbfm_pallas_apply(chain, blocks)
     got = chain.assemble(audio, counts)
 
-    serial = pallas_fm.PallasWbfmStreamer(interpret=False)
+    # reference pinned to the chain's in-kernel rotation placement
+    serial = pallas_fm.PallasWbfmStreamer(interpret=False,
+                                          rot_impl="broadcast")
+    exp = serial.demodulate(capture)[None, :]
+    np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
+
+
+def test_mosaic_sharded_chain_host_front_single_chip(capture):
+    """The round-5 production sharded front COMPILED on hardware:
+    pre-rotated input + rotation-free bf16 kernel + edge-carry wiring
+    (rot_impl='host'), vs the serial host-mode streamer."""
+    import jax
+
+    from tpu_sdr.models import wbfm
+    from tpu_sdr.ops import pallas_fm
+    from tpu_sdr.parallel import mesh as mesh_mod
+    from tpu_sdr.parallel.wbfm_sharded_pallas import (
+        make_sharded_wbfm_pallas, sharded_wbfm_pallas_apply)
+
+    mesh = mesh_mod.make_mesh(dp=1, sp=1, devices=jax.devices()[:1])
+    chain = make_sharded_wbfm_pallas(mesh, wbfm.WbfmConfig(filter_mode="fir"),
+                                     rot_impl="host")
+    audio, counts = sharded_wbfm_pallas_apply(chain, capture[None, :],
+                                              rotate=True)
+    got = chain.assemble(audio, counts)
+
+    serial = pallas_fm.PallasWbfmStreamer(interpret=False)  # host default
     exp = serial.demodulate(capture)[None, :]
     np.testing.assert_allclose(got, exp, rtol=1e-4, atol=1e-5)
 
