@@ -226,6 +226,47 @@ def initial_carry(stations: int, config: WbfmConfig | None = None):
     return kernel_edge, rs_edge
 
 
+class ShardedPallasStreamer:
+    """Streaming host wrapper around the ``carry_io`` sharded chain: a
+    multi-chip receiver with the same ``(carry, block)`` discipline —
+    and the same checkpoint surface — as the serial streamers.
+
+    ``demodulate`` consumes (stations, bytes) u8 blocks whose per-shard
+    slice is a whole number of kernel chunks, returns the assembled
+    audio, and carries the stream across calls (sample-exact with one
+    serial stream; see the carry_io tests).  The carry attributes are
+    named ``states``/``resamp_hists`` so ``stream.checkpoint``'s generic
+    save/load captures a mid-stream receiver unchanged.
+    """
+
+    def __init__(self, mesh: Mesh, stations: int,
+                 config: WbfmConfig | None = None,
+                 rot_impl: str = "host", **chain_kwargs):
+        self.config = config or WbfmConfig(filter_mode="fir")
+        self.rot_impl = rot_impl
+        self.chain = make_sharded_wbfm_pallas(
+            mesh, self.config, carry_io=True, rot_impl=rot_impl,
+            **chain_kwargs)
+        self.states, self.resamp_hists = initial_carry(stations, self.config)
+        self._sp = mesh.shape["sp"]
+
+    def demodulate(self, blocks: np.ndarray) -> np.ndarray:
+        blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
+        if self.rot_impl == "host":
+            from tpu_sdr.native import rotate_fs4_u8
+
+            blocks = rotate_fs4_u8(blocks.reshape(-1)).reshape(blocks.shape)
+        x = jax.device_put(view_blocks_as_i16(blocks),
+                           self.chain.in_sharding)
+        audio, counts, self.states, self.resamp_hists = self.chain.fn(
+            x, self.states, self.resamp_hists)
+        return self.chain.assemble(audio, counts)
+
+    def reset(self) -> None:
+        self.states, self.resamp_hists = initial_carry(
+            self.states.shape[0], self.config)
+
+
 def view_blocks_as_i16(blocks: np.ndarray) -> np.ndarray:
     """(stations, bytes) u8 -> (stations, n_complex) int16 zero-copy view."""
     blocks = np.ascontiguousarray(blocks, dtype=np.uint8)
