@@ -225,12 +225,16 @@ def main() -> None:
         # production host-fed configuration — the feeder's C++ conversion
         # pass pre-rotates, like the reference's host thread), then the
         # raw-input broadcast kernel.
+        # g=16 for the host+bf16 front (round-5 A/B: 0.133 vs 0.137
+        # ms/block, 6/6 reps — the faster front makes per-grid-step
+        # overhead loom larger, flipping round-3's g=8 verdict for this
+        # variant only; g=8 still wins for the raw-input kernel)
         try:
-            r = bench_pallas(host_block, chunks_per_step=8, rot_impl="host",
+            r = bench_pallas(host_block, chunks_per_step=16, rot_impl="host",
                              unpack_impl="dcfold_bf16")
             if r:
                 results["pallas_host"], timing["pallas_host"] = r
-                timing["pallas_host_geometry"] = "chunks_per_step=8"
+                timing["pallas_host_geometry"] = "chunks_per_step=16"
                 timing["pallas_host_note"] = (
                     "input pre-rotated by the C++ feeder byte map "
                     "(tsdr_rotate_fs4_u8), off the device critical path")
@@ -287,7 +291,17 @@ def main() -> None:
         results["xla_f32"], timing["xla_f32"] = bench_xla(host_block, "f32")
     except Exception:
         pass
-    # optional extra geometry, only if the budget allows
+    # optional extra geometries, only if the budget allows
+    if on_tpu and _left() > 120:
+        try:
+            r = bench_pallas(host_block, chunks_per_step=8, rot_impl="host",
+                             unpack_impl="dcfold_bf16")
+            if r and ("pallas_host" not in results
+                      or r[0] < results["pallas_host"]):
+                results["pallas_host"], timing["pallas_host"] = r
+                timing["pallas_host_geometry"] = "chunks_per_step=8"
+        except Exception:
+            pass
     if on_tpu and _left() > 120:
         try:
             r = bench_pallas(host_block, chunks_per_step=2)

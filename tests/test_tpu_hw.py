@@ -316,7 +316,7 @@ def test_mosaic_atan_fast_close_to_exact(capture):
     assert _snr_db(exact.demodulate(capture), fast.demodulate(capture)) >= 30.0
 
 
-@pytest.mark.parametrize("g", [4, 8])
+@pytest.mark.parametrize("g", [4, 8, 16])
 def test_mosaic_chunks_per_step_geometry(g):
     """Edge grid geometries (chunks folded per step) compiled by Mosaic
     must agree with the default 1-chunk grid."""
