@@ -57,7 +57,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TARGET_COMPLEX = 12_533_760   # per-chip shard (the bench.py block size)
-CHUNKS_PER_STEP = 8           # bench.py's winning kernel geometry
+CHUNKS_PER_STEP = 16          # bench.py's winning host+bf16 geometry (r5)
 
 
 def measure(n_short: int = 128, n_long: int = 512, reps: int = 4):
