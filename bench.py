@@ -240,15 +240,6 @@ def main() -> None:
                     "(tsdr_rotate_fs4_u8), off the device critical path")
         except Exception:
             pass
-        # g=8: it won every clean interleaved A/B (round 3) — the
-        # primary geometry must not depend on budget remaining.
-        try:
-            r = bench_pallas(host_block, chunks_per_step=8)
-            if r:
-                results["pallas"], timing["pallas"] = r
-                timing["pallas_geometry"] = "chunks_per_step=8"
-        except Exception:
-            pass
     # Host-fed SYSTEM metric (file -> native ring -> device_put -> fused
     # kernel -> on-device audio accumulator vs the same plumbing minus
     # compute): the pipeline/ceiling RATIO, measured right after the
@@ -262,10 +253,12 @@ def main() -> None:
         try:
             from benchmarks.hostfed import measure_host_fed_ratio
 
-            # reserve ~100 s of budget for the XLA fallback legs below:
-            # round-4's artifact lost their differenced numbers to a
-            # hostfed overrun
-            r = measure_host_fed_ratio(time_left=lambda: _left() - 100)
+            # reserve ~170 s for the raw-input pallas leg + the XLA
+            # fallback legs below: round-4's artifact lost their
+            # differenced numbers to a hostfed overrun.  hostfed runs
+            # SECOND (right after the headline) so its trial count does
+            # not depend on how many secondary legs fit
+            r = measure_host_fed_ratio(time_left=lambda: _left() - 170)
             if r:
                 # the RATIO is the defensible system metric on this
                 # host's phase-y tunnel; absolute Msps are secondary
@@ -282,6 +275,17 @@ def main() -> None:
         except Exception:
             pass
 
+    # raw-input broadcast kernel (g=8 won every clean round-3 A/B for
+    # this variant): the secondary pallas path, after hostfed so its
+    # cost cannot starve the system metric
+    if on_tpu:
+        try:
+            r = bench_pallas(host_block, chunks_per_step=8)
+            if r:
+                results["pallas"], timing["pallas"] = r
+                timing["pallas_geometry"] = "chunks_per_step=8"
+        except Exception:
+            pass
     try:
         results["xla_bf16"], timing["xla_bf16"] = bench_xla(
             host_block, "split_bf16")

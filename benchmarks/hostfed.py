@@ -172,10 +172,19 @@ def measure_host_fed_ratio(trial_pairs: int = 8, n_long: int = 5,
     try:
         # Warm both legs: compile + feeder spin-up, then a LONG pass of
         # each to burn through the tunnel's fast-first-GB burst so trial
-        # 0 sees the same sustained phase the rest do.
-        run(2, False)
-        run(n_long, True)
-        run(n_long, False)
+        # 0 sees the same sustained phase the rest do.  In a
+        # slow-transfer phase (probe > ~20 s for 2 blocks) shrink the
+        # legs and skip the long warm passes — the adjacent-pair ratio
+        # still cancels the phase, and a 50 s/leg trial cadence would
+        # starve every other metric in the caller's budget.
+        t_probe = run(2, False)
+        slow_phase = t_probe > 20.0
+        if slow_phase:
+            n_long = min(n_long, 3)
+            run(2, True)  # compile the compute leg only
+        else:
+            run(n_long, True)
+            run(n_long, False)
         ratios, pipe_ts, ceil_ts = [], [], []
         for i in range(trial_pairs):
             if time_left is not None and time_left() <= 0:
@@ -191,6 +200,8 @@ def measure_host_fed_ratio(trial_pairs: int = 8, n_long: int = 5,
             pipe_ts.append(tp)
             ceil_ts.append(tc)
             ratios.append(tc / tp)
+            if ratios and tp + tc > 120.0:
+                break  # hard-throttled phase: more pairs won't help
         if not ratios:
             return None
         msps = lambda t: round(  # noqa: E731
